@@ -1,0 +1,146 @@
+"""phDOS ablation baselines (reference embedder_phDOS/graphnetwork_phonon.py,
+embedder_phDOS/mlp_phonon.py).
+
+Three of the four reference forwards contain arity-mismatched calls that crash
+(SURVEY.md §2.3-4): Graphnetwork2_phonon's encoder call (graphnetwork_phonon.py
+:114 vs :148), mlp_phonon's encoder/decoder calls (mlp_phonon.py:29,31 vs
+:96,136), and mlp2_phonon's encoder call (:72 vs :96). This module implements
+the clearly-intended behavior of each and documents the divergence inline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from dostransformer_tpu.data.graph import GraphBatch
+from dostransformer_tpu.nn.init import embedding_init
+from dostransformer_tpu.nn.modules import (
+    GraphDecoderPhDOS,
+    GraphEncoderPhDOS,
+    MLP2,
+    MLPBlock,
+    Processor,
+    TorchLinear,
+)
+from dostransformer_tpu.ops.geometry import edge_geometry_phdos, smooth_cutoff
+from dostransformer_tpu.ops.segment import segment_sum
+
+
+def _pool(g: GraphBatch, x):
+    return segment_sum(x * g.node_mask[:, None].astype(x.dtype),
+                       g.node_gid, g.num_graphs)
+
+
+class GraphnetworkPhDOS(fnn.Module):
+    """Energy-embedding phonon GNN (graphnetwork_phonon.py:14-72); NodeModel
+    uses scatter_mean (:234). Returns dos [B, 51]."""
+
+    layers: int = 3
+    hidden: int = 256
+    n_bins: int = 51
+    r_max: float = 4.0
+
+    @fnn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        b = g.num_graphs
+        table = self.param("embeddings", embedding_init, (self.n_bins, self.hidden))
+        energies = jnp.broadcast_to(table[None], (b, self.n_bins, self.hidden))
+
+        edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
+        x, edge_attr = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(
+            g.nodes, edge_attr)
+        for i in range(self.layers):
+            out_x, out_e = Processor(self.hidden, "mean", name=f"processor{i}")(
+                x, g.senders, g.receivers, edge_attr, g.edge_mask)
+            x = x + out_x
+            edge_attr = edge_attr + out_e
+
+        graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(
+            x, g.node_gid, g.node_mask, b)
+        graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
+
+        h = jnp.concatenate([energies, graph], axis=-1)
+        h = jax.nn.leaky_relu(TorchLinear(self.hidden, name="out0")(h))
+        return TorchLinear(1, name="out1")(h)[..., 0]
+
+
+class Graphnetwork2PhDOS(fnn.Module):
+    """No-energy-embedding phonon GNN (graphnetwork_phonon.py:78-124, intent
+    fix: encoder called without energies). out_layer Linear(h->h/2)->LeakyReLU
+    ->Linear(h/2->51) over sum-pooled nodes (:85,:121-122)."""
+
+    layers: int = 3
+    hidden: int = 256
+    n_bins: int = 51
+    r_max: float = 4.0
+
+    @fnn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
+        x, edge_attr = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(
+            g.nodes, edge_attr)
+        for i in range(self.layers):
+            out_x, out_e = Processor(self.hidden, "mean", name=f"processor{i}")(
+                x, g.senders, g.receivers, edge_attr, g.edge_mask)
+            x = x + out_x
+            edge_attr = edge_attr + out_e
+
+        pooled = _pool(g, x)
+        h = jax.nn.leaky_relu(TorchLinear(self.hidden // 2, name="out0")(pooled))
+        return TorchLinear(self.n_bins, name="out1")(h)
+
+
+class MLPPhDOS(fnn.Module):
+    """mlp_phonon (mlp_phonon.py:12-35, intent fixes): edge features are
+    smooth_cutoff(|v|/4) * edge_shift (:27-28 — note: edge_shift, not SH);
+    node features AND one-hot types go through the (shared) node encoder; the
+    decoder readout is Linear(2h->h)([sum(z_enc), sum(x_enc)]) (:136-141);
+    out_layer Linear(2h->h)->LayerNorm->PReLU->Linear(h->1) per energy (:20)."""
+
+    hidden: int = 256
+    n_bins: int = 51
+    r_max: float = 4.0
+
+    @fnn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        b = g.num_graphs
+        table = self.param("embeddings", embedding_init, (self.n_bins, self.hidden))
+        energies = jnp.broadcast_to(table[None], (b, self.n_bins, self.hidden))
+
+        edge_len = jnp.linalg.norm(g.edge_vec, axis=-1)
+        edge_attr = smooth_cutoff(edge_len / self.r_max)[:, None] * g.edge_shift
+
+        node_encoder = MLP2(self.hidden, name="node_encoder")
+        x = node_encoder(g.nodes)
+        z = node_encoder(g.node_z)  # shared encoder, mlp_phonon.py:98-99
+        _ = MLP2(self.hidden, name="edge_encoder")(edge_attr)
+
+        mask = g.node_mask[:, None].astype(x.dtype)
+        pooled = jnp.concatenate(
+            [segment_sum(z * mask, g.node_gid, b),
+             segment_sum(x * mask, g.node_gid, b)], axis=-1)
+        graph = TorchLinear(self.hidden, name="decoder")(pooled)
+        graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
+
+        h = jnp.concatenate([energies, graph], axis=-1)
+        return MLPBlock(self.hidden, 1, name="out_layer")(h)[..., 0]
+
+
+class MLP2PhDOS(fnn.Module):
+    """mlp2_phonon (mlp_phonon.py:39-78, intent fix on the encoder call):
+    encode nodes+edges (SH geometry), sum-pool, Linear(h->h)->LeakyReLU->
+    Linear(h->51) (:44,:75-77)."""
+
+    hidden: int = 256
+    n_bins: int = 51
+    r_max: float = 4.0
+
+    @fnn.compact
+    def __call__(self, g: GraphBatch, deterministic: bool = True):
+        edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
+        x, _ = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(g.nodes, edge_attr)
+        pooled = _pool(g, x)
+        h = jax.nn.leaky_relu(TorchLinear(self.hidden, name="out0")(pooled))
+        return TorchLinear(self.n_bins, name="out1")(h)

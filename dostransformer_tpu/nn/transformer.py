@@ -1,0 +1,136 @@
+"""Pre-LN transformer encoder stack.
+
+Re-implements the behavior of the reference's layers/transformer.py and
+layers/multihead_attention.py with TPU-friendly batch-first layout
+([B, L, D]; the reference uses (seq, batch, dim) — semantics identical):
+
+  * Each layer (transformer.py:120-150): LN0 applied to q, k and v SEPARATELY
+    -> projection-free attention -> res-dropout -> residual;
+    LN1 -> FFN (4x widening, ReLU, xavier-uniform weights + zero bias,
+    transformer.py:116-117,160-165) -> residual.
+  * The key/value streams passed into the stack are FIXED across layers: each
+    layer re-norms the *original* k/v inputs with its own LN0; only the query
+    stream evolves (transformer.py:63-73). This holds for "self"-attention too
+    (the caller passes the same tensor three times, DOSTransformer.py:71).
+  * A final LayerNorm closes the stack (transformer.py:42-44,76-77).
+  * Attention is projection-free softmax(QK^T * D^-0.5)V, softmax in float32
+    (multihead_attention.py:68-76); num_heads is accepted for API parity but
+    unused, exactly as in the reference forward. The dead in_proj/out_proj
+    parameters are intentionally not created (SURVEY.md §2.3-6).
+  * Divergence from a latent defect (intent fix, SURVEY.md §2.2): passing
+    k/v = None performs self-attention instead of raising NameError.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from dostransformer_tpu.nn.init import xavier_uniform_init
+from dostransformer_tpu.nn.modules import LN_EPS
+from dostransformer_tpu.ops.attention import dot_product_attention, fused_attention
+
+
+def _zeros_bias(key, shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
+
+
+class XavierLinear(fnn.Module):
+    """transformer.py:160-165 Linear: xavier_uniform weight, zero bias."""
+
+    features: int
+
+    @fnn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", xavier_uniform_init, (x.shape[-1], self.features))
+        bias = self.param("bias", _zeros_bias, (self.features,))
+        return x @ kernel + bias
+
+
+class TransformerEncoderLayer(fnn.Module):
+    embed_dim: int
+    num_heads: int = 1  # accepted for parity; unused by the projection-free attention
+    attn_dropout: float = 0.0
+    relu_dropout: float = 0.0
+    res_dropout: float = 0.0
+    use_pallas: Optional[bool] = None
+
+    @fnn.compact
+    def __call__(self, x, x_k, x_v, key_mask=None, deterministic: bool = True):
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+        residual = x
+        # LN0 is ONE module applied to q, k, v separately (transformer.py:132-134)
+        ln0 = _SharedLN(epsilon=LN_EPS, name="ln0")
+        q = ln0(x)
+        k = ln0(x_k)
+        v = ln0(x_v)
+
+        dropout_rng = None
+        if self.attn_dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        attn_fn = fused_attention if use_pallas else dot_product_attention
+        a = attn_fn(q, k, v, key_mask,
+                    dropout_rate=self.attn_dropout if not deterministic else 0.0,
+                    dropout_rng=dropout_rng)
+        a = fnn.Dropout(self.res_dropout, name="res_drop0")(a, deterministic=deterministic)
+        x = residual + a
+
+        residual = x
+        h = fnn.LayerNorm(epsilon=LN_EPS, name="ln1")(x)
+        h = jax.nn.relu(XavierLinear(4 * self.embed_dim, name="fc1")(h))
+        h = fnn.Dropout(self.relu_dropout, name="relu_drop")(h, deterministic=deterministic)
+        h = XavierLinear(self.embed_dim, name="fc2")(h)
+        h = fnn.Dropout(self.res_dropout, name="res_drop1")(h, deterministic=deterministic)
+        return residual + h
+
+
+class _SharedLN(fnn.Module):
+    """One LayerNorm parameter set applied to several inputs."""
+
+    epsilon: float = LN_EPS
+
+    @fnn.compact
+    def __call__(self, x):
+        return fnn.LayerNorm(epsilon=self.epsilon, name="ln")(x)
+
+
+class TransformerEncoder(fnn.Module):
+    """Stack of TransformerEncoderLayers + final LayerNorm
+    (transformer.py:8-79). k/v inputs are fixed across layers."""
+
+    embed_dim: int
+    num_heads: int = 1
+    layers: int = 2
+    attn_dropout: float = 0.0
+    relu_dropout: float = 0.0
+    res_dropout: float = 0.0
+    embed_dropout: float = 0.0
+    use_pallas: Optional[bool] = None
+
+    @fnn.compact
+    def __call__(self, x_in, x_in_k=None, x_in_v=None, key_mask=None,
+                 deterministic: bool = True):
+        x = fnn.Dropout(self.embed_dropout, name="embed_drop")(
+            x_in, deterministic=deterministic)
+        if x_in_k is None or x_in_v is None:
+            x_k = x_v = x
+        else:
+            x_k = fnn.Dropout(self.embed_dropout, name="embed_drop_k")(
+                x_in_k, deterministic=deterministic)
+            x_v = fnn.Dropout(self.embed_dropout, name="embed_drop_v")(
+                x_in_v, deterministic=deterministic)
+
+        for i in range(self.layers):
+            x = TransformerEncoderLayer(
+                self.embed_dim, self.num_heads, self.attn_dropout,
+                self.relu_dropout, self.res_dropout, self.use_pallas,
+                name=f"layer{i}",
+            )(x, x_k, x_v, key_mask, deterministic)
+
+        return fnn.LayerNorm(epsilon=LN_EPS, name="final_ln")(x)

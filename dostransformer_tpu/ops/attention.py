@@ -1,0 +1,170 @@
+"""Projection-free scaled dot-product attention.
+
+The reference's MultiheadAttention (layers/multihead_attention.py:49-76) applies
+NO q/k/v/output projections and no head split: it is exactly
+``softmax(Q K^T * d^-0.5) V`` with the softmax computed in float32
+(multihead_attention.py:68-72); the registered in_proj/out_proj parameters are
+dead weight (created but never used). We implement the *intent*: the bare
+attention op, with an optional key-padding mask (the reference never builds one
+— see SURVEY.md §2.3-10 — so masking is opt-in via the `padding="mask"` config).
+
+Two implementations behind one signature:
+  * :func:`dot_product_attention` — jnp reference (XLA fuses it well already).
+  * :func:`fused_attention` — a Pallas TPU kernel that keeps the whole
+    [TQ, Lk] score tile in VMEM (our sequences are <=201 queries x <=1k keys,
+    so no online-softmax pass is needed; one VMEM-resident block per grid step
+    is the speed-of-light schedule at this scale). Backward runs through a
+    custom VJP with closed-form gradients.
+
+Layout: batch-first [B, L, D] (TPU-friendly; the reference uses torch's
+(seq, batch, dim) — semantics are identical).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """softmax(q k^T * D^-0.5) v, softmax in float32.
+
+    q [B, Lq, D], k/v [B, Lk, D], key_mask [B, Lk] (True = attend) or None.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5
+    scores = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, :], scores, NEG_INF)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bqk,bkd->bqd", weights, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                     precision):
+    q = q_ref[0]        # [TQ, D]
+    k = k_ref[0]        # [Lk, D]
+    s = jax.lax.dot(q, k.T, preferred_element_type=jnp.float32,
+                    precision=precision) * scale          # [TQ, Lk]
+    s = s + bias_ref[0]  # additive key bias (0 or NEG_INF), broadcast over rows
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32,
+                           precision=precision).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    # f32 inputs use exact (HIGHEST) MXU passes for torch parity; bf16 inputs
+    # ride the MXU natively.
+    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    lq_pad = _round_up(lq, 8)
+    tq = min(q_tile, lq_pad)
+    lq_pad = _round_up(lq_pad, tq)
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
+
+    qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
+    kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
+    vb = jnp.zeros((b, lk_pad, d_pad), v.dtype).at[:, :lk, :d].set(v)
+    # pad keys masked out
+    biasb = jnp.full((b, 1, lk_pad), NEG_INF, jnp.float32).at[:, 0, :lk].set(bias)
+
+    grid = (b, lq_pad // tq)
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
+    )(qb, kb, vb, biasb)
+    return out[:, :lq, :d]
+
+
+@jax.custom_vjp
+def _fused_attention(q, k, v, bias):
+    return _fused_attention_fwd(q, k, v, bias)
+
+
+def _fused_fwd(q, k, v, bias):
+    o = _fused_attention_fwd(q, k, v, bias)
+    return o, (q, k, v, bias)
+
+
+def _fused_bwd(res, g):
+    q, k, v, bias = res
+    d = q.shape[-1]
+    scale = d ** -0.5
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g)
+    dp = jnp.einsum("bqd,bkd->bqk", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    return dq, dk, dv, None
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+) -> jax.Array:
+    """Pallas-fused attention; falls back to the jnp path when attention-weight
+    dropout is active (training with --attn_drop > 0) since the dropout mask
+    lives on the [Lq, Lk] weights."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return dot_product_attention(q, k, v, key_mask,
+                                     dropout_rate=dropout_rate,
+                                     dropout_rng=dropout_rng)
+    b, lk = q.shape[0], k.shape[1]
+    if key_mask is None:
+        bias = jnp.zeros((b, lk), jnp.float32)
+    else:
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    return _fused_attention(q, k, v, bias)
