@@ -2,21 +2,30 @@
 
 TPU-native replacement for PyG's DataLoader/Batch collation + to_dense_batch
 (reference main_eDOS.py:54-56, DOSTransformer.py:61-62). Instead of ragged
-concatenation, a batch of B graphs is laid out with a FIXED number of node
-slots per graph (`atoms_per_graph` = A): graph g owns node rows
-[g*A, (g+1)*A). This makes the reference's to_dense_batch a zero-cost reshape
-([B*A, F] -> [B, A, F]) and keeps every shape static for XLA.
+concatenation, every array is BATCH-LEADING with fixed per-graph slots:
 
-Pad semantics (normative, see SURVEY.md §7.3-1):
+    nodes      [B, A, Fx]   A node slots per graph
+    senders    [B, Eg]      Eg edge slots per graph, LOCAL indices in [0, A)
+    receivers  [B, Eg]
+    node_mask  [B, A]       1 for real atoms
+    edge_mask  [B, Eg]      1 for real edges
+
+This layout is the TPU-idiomatic design (SURVEY.md §2.4): the reference's
+to_dense_batch is the identity, every graph op (gather by edge endpoint,
+edge->node scatter, readout pooling) is graph-local, and data parallelism is a
+NamedSharding over axis 0 — no cross-device indexing, XLA inserts only the
+gradient all-reduce.
+
+Pad semantics (normative, SURVEY.md §7.3-1):
   * pad node rows are zero features with node_mask 0; they receive no messages
     and are excluded from graph readouts;
   * pad edges have senders/receivers 0 and edge_mask 0; they are excluded from
-    node aggregation;
-  * in the dense view, pad rows are zeroed — under `padding="ref"` they then
-    act as attention keys exactly like torch to_dense_batch zero-rows in the
-    reference (which never builds a key-padding mask, DOSTransformer.py:61-63);
-    under `padding="mask"` (default) they are masked out of attention, which
-    coincides with reference behavior at batch_size=1 (no padding exists).
+    node aggregation (and from segment-mean denominators);
+  * under `padding="ref"` zeroed pad rows act as attention keys exactly like
+    torch to_dense_batch zero-rows in the reference (which never builds a
+    key-padding mask, DOSTransformer.py:61-63); under `padding="mask"`
+    (default) they are masked out of attention, which coincides with reference
+    behavior at batch_size=1 (no padding exists there).
 """
 
 from __future__ import annotations
@@ -62,47 +71,34 @@ class GraphSample:
 
 
 class GraphBatch(struct.PyTreeNode):
-    """Fixed-shape batch of B graphs with A node slots per graph."""
+    """Fixed-shape batch of B graphs; every leaf is batch-leading."""
 
-    nodes: jax.Array        # [B*A, Fx]
-    senders: jax.Array      # [E] int32, global node-slot index
-    receivers: jax.Array    # [E] int32
-    node_mask: jax.Array    # [B*A] float
-    edge_mask: jax.Array    # [E] float
+    nodes: jax.Array        # [B, A, Fx]
+    senders: jax.Array      # [B, Eg] int32, local node index
+    receivers: jax.Array    # [B, Eg] int32
+    node_mask: jax.Array    # [B, A] float
+    edge_mask: jax.Array    # [B, Eg] float
     y: jax.Array            # [B, bins]
     system: jax.Array       # [B] int32
     graph_mask: jax.Array   # [B] float (0 for dummy graphs in a short batch)
     sample_id: jax.Array    # [B] int32
-    edges: Optional[jax.Array] = None       # [E, Fe] eDOS Gaussian features
-    edge_vec: Optional[jax.Array] = None    # [E, 3] phDOS
-    edge_shift: Optional[jax.Array] = None  # [E, 3] phDOS
+    edges: Optional[jax.Array] = None       # [B, Eg, Fe] eDOS Gaussian features
+    edge_vec: Optional[jax.Array] = None    # [B, Eg, 3] phDOS
+    edge_shift: Optional[jax.Array] = None  # [B, Eg, 3] phDOS
     glob: Optional[jax.Array] = None        # [B, Fg] eDOS
-    node_z: Optional[jax.Array] = None      # [B*A, 118] phDOS one-hot type
+    node_z: Optional[jax.Array] = None      # [B, A, 118] phDOS one-hot type
 
     @property
     def num_graphs(self) -> int:
-        return self.y.shape[0]
+        return self.nodes.shape[0]
 
     @property
     def atoms_per_graph(self) -> int:
-        return self.nodes.shape[0] // self.num_graphs
+        return self.nodes.shape[1]
 
     @property
-    def node_gid(self) -> jax.Array:
-        """The PyG `batch` vector: graph id per node slot."""
-        a = self.atoms_per_graph
-        return jnp.arange(self.nodes.shape[0], dtype=jnp.int32) // a
-
-    def dense_nodes(self, x: jax.Array) -> jax.Array:
-        """to_dense_batch(x, batch) as a masked reshape -> [B, A, F]
-        (replaces reference DOSTransformer.py:61-62)."""
-        b, a = self.num_graphs, self.atoms_per_graph
-        x = x * self.node_mask[:, None].astype(x.dtype)
-        return x.reshape(b, a, x.shape[-1])
-
-    @property
-    def dense_node_mask(self) -> jax.Array:
-        return self.node_mask.reshape(self.num_graphs, self.atoms_per_graph)
+    def edges_per_graph(self) -> int:
+        return self.senders.shape[1]
 
 
 def bucket_size(n: int, minimum: int = 8) -> int:
@@ -117,88 +113,77 @@ def bucket_size(n: int, minimum: int = 8) -> int:
 def collate(
     samples: Sequence[GraphSample],
     atoms_per_graph: Optional[int] = None,
-    max_edges: Optional[int] = None,
+    edges_per_graph: Optional[int] = None,
     num_graphs: Optional[int] = None,
     use_buckets: bool = True,
 ) -> GraphBatch:
     """Collate host-side samples into one fixed-shape GraphBatch.
 
-    atoms_per_graph / max_edges / num_graphs may be pinned (e.g. dataset-level
-    maxima -> a single compiled shape) or derived per batch via power-of-two
-    buckets.
+    atoms_per_graph / edges_per_graph / num_graphs may be pinned (e.g.
+    dataset-level maxima -> a single compiled shape) or derived per batch via
+    power-of-two buckets.
     """
     b_real = len(samples)
     b = num_graphs or b_real
     assert b >= b_real
 
     max_n = max(s.n_nodes for s in samples)
-    tot_e = sum(s.n_edges for s in samples)
+    max_e = max(s.n_edges for s in samples)
     a = atoms_per_graph or (bucket_size(max_n) if use_buckets else max_n)
-    e_pad = max_edges or (bucket_size(max(tot_e, 1)) if use_buckets else max(tot_e, 1))
+    eg = edges_per_graph or (bucket_size(max(max_e, 1)) if use_buckets else max(max_e, 1))
     assert a >= max_n, (a, max_n)
-    assert e_pad >= tot_e, (e_pad, tot_e)
+    assert eg >= max_e, (eg, max_e)
 
     fx = samples[0].x.shape[1]
     bins = samples[0].y.shape[-1]
 
-    nodes = np.zeros((b * a, fx), np.float32)
-    node_mask = np.zeros((b * a,), np.float32)
-    senders = np.zeros((e_pad,), np.int32)
-    receivers = np.zeros((e_pad,), np.int32)
-    edge_mask = np.zeros((e_pad,), np.float32)
+    nodes = np.zeros((b, a, fx), np.float32)
+    node_mask = np.zeros((b, a), np.float32)
+    senders = np.zeros((b, eg), np.int32)
+    receivers = np.zeros((b, eg), np.int32)
+    edge_mask = np.zeros((b, eg), np.float32)
     y = np.zeros((b, bins), np.float32)
     system = np.zeros((b,), np.int32)
     graph_mask = np.zeros((b,), np.float32)
     sample_id = np.full((b,), -1, np.int32)
 
-    has_eattr = samples[0].edge_attr is not None
-    has_evec = samples[0].edge_vec is not None
-    has_eshift = samples[0].edge_shift is not None
-    has_glob = samples[0].glob is not None
-    has_z = samples[0].z is not None
-    edges = np.zeros((e_pad, samples[0].edge_attr.shape[1]), np.float32) if has_eattr else None
-    edge_vec = np.zeros((e_pad, 3), np.float32) if has_evec else None
-    edge_shift = np.zeros((e_pad, 3), np.float32) if has_eshift else None
-    glob = np.zeros((b, samples[0].glob.shape[-1]), np.float32) if has_glob else None
-    node_z = np.zeros((b * a, samples[0].z.shape[1]), np.float32) if has_z else None
+    s0 = samples[0]
+    edges = np.zeros((b, eg, s0.edge_attr.shape[1]), np.float32) if s0.edge_attr is not None else None
+    edge_vec = np.zeros((b, eg, 3), np.float32) if s0.edge_vec is not None else None
+    edge_shift = np.zeros((b, eg, 3), np.float32) if s0.edge_shift is not None else None
+    glob = np.zeros((b, s0.glob.shape[-1]), np.float32) if s0.glob is not None else None
+    node_z = np.zeros((b, a, s0.z.shape[1]), np.float32) if s0.z is not None else None
 
-    eo = 0
     for g, s in enumerate(samples):
         n, e = s.n_nodes, s.n_edges
-        nodes[g * a: g * a + n] = s.x
-        node_mask[g * a: g * a + n] = 1.0
-        senders[eo: eo + e] = s.edge_index[0] + g * a
-        receivers[eo: eo + e] = s.edge_index[1] + g * a
-        edge_mask[eo: eo + e] = 1.0
-        if has_eattr:
-            edges[eo: eo + e] = s.edge_attr
-        if has_evec:
-            edge_vec[eo: eo + e] = s.edge_vec
-        if has_eshift:
-            edge_shift[eo: eo + e] = s.edge_shift
-        if has_glob:
+        nodes[g, :n] = s.x
+        node_mask[g, :n] = 1.0
+        senders[g, :e] = s.edge_index[0]
+        receivers[g, :e] = s.edge_index[1]
+        edge_mask[g, :e] = 1.0
+        if edges is not None:
+            edges[g, :e] = s.edge_attr
+        if edge_vec is not None:
+            edge_vec[g, :e] = s.edge_vec
+        if edge_shift is not None:
+            edge_shift[g, :e] = s.edge_shift
+        if glob is not None:
             glob[g] = s.glob
-        if has_z:
-            node_z[g * a: g * a + n] = s.z
+        if node_z is not None:
+            node_z[g, :n] = s.z
         y[g] = np.asarray(s.y, np.float32).reshape(-1)
         system[g] = s.system
         graph_mask[g] = 1.0
         sample_id[g] = s.sample_id
-        eo += e
 
+    j = jnp.asarray
     return GraphBatch(
-        nodes=jnp.asarray(nodes),
-        senders=jnp.asarray(senders),
-        receivers=jnp.asarray(receivers),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
-        y=jnp.asarray(y),
-        system=jnp.asarray(system),
-        graph_mask=jnp.asarray(graph_mask),
-        sample_id=jnp.asarray(sample_id),
-        edges=jnp.asarray(edges) if edges is not None else None,
-        edge_vec=jnp.asarray(edge_vec) if edge_vec is not None else None,
-        edge_shift=jnp.asarray(edge_shift) if edge_shift is not None else None,
-        glob=jnp.asarray(glob) if glob is not None else None,
-        node_z=jnp.asarray(node_z) if node_z is not None else None,
+        nodes=j(nodes), senders=j(senders), receivers=j(receivers),
+        node_mask=j(node_mask), edge_mask=j(edge_mask), y=j(y),
+        system=j(system), graph_mask=j(graph_mask), sample_id=j(sample_id),
+        edges=j(edges) if edges is not None else None,
+        edge_vec=j(edge_vec) if edge_vec is not None else None,
+        edge_shift=j(edge_shift) if edge_shift is not None else None,
+        glob=j(glob) if glob is not None else None,
+        node_z=j(node_z) if node_z is not None else None,
     )

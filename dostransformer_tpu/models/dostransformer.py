@@ -15,7 +15,7 @@ embedder_phDOS/DOSTransformer_phonon.py:14-119):
     linear are SHARED between the two heads (DOSTransformer.py:71-89) —
     expressed here by calling the same module instances twice.
 
-Returns (dos_global [B, bins], node_embeddings [B*A, h], dos_system [B, bins])
+Returns (dos_global [B, bins], node_embeddings [B, A, h], dos_system [B, bins])
 matching the reference contract (DOSTransformer.py:93); node embeddings are
 consumed by the eval-artifact export (reference utils.py:91).
 """
@@ -101,8 +101,14 @@ class _DOSTransformerBase(fnn.Module):
 
     def _key_mask(self, g: GraphBatch):
         if self.padding == "mask":
-            return g.dense_node_mask > 0.5
+            return g.node_mask > 0.5
         return None  # "ref": zero pad rows act as keys like torch to_dense_batch
+
+    @staticmethod
+    def _dense(g: GraphBatch, x):
+        """to_dense_batch is the identity in batch-leading layout; zero the
+        pad rows like torch to_dense_batch does (DOSTransformer.py:61-62)."""
+        return x * g.node_mask[..., None].astype(x.dtype)
 
 
 class DOSTransformerEDOS(_DOSTransformerBase):
@@ -121,12 +127,12 @@ class DOSTransformerEDOS(_DOSTransformerBase):
             g.nodes, g.edges, g.glob)
         x, edge_attr = self._message_passing(g, x, edge_attr, deterministic)
 
-        x_dense = g.dense_nodes(x)           # [B, A, h]; replaces to_dense_batch
+        x_dense = self._dense(g, x)          # [B, A, h]; replaces to_dense_batch
         key_mask = self._key_mask(g)
         energies = tr_cross(energies, x_dense, x_dense, key_mask, deterministic)
 
         graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(
-            x, u, g.node_gid, g.node_mask, b)
+            x, u, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 
         dos_global, dos_system = self._heads(
@@ -157,12 +163,12 @@ class DOSTransformerPhDOS(_DOSTransformerBase):
             g.nodes, edge_attr)
         x, edge_attr = self._message_passing(g, x, edge_attr, deterministic)
 
-        x_dense = g.dense_nodes(x)
+        x_dense = self._dense(g, x)
         key_mask = self._key_mask(g)
         energies = tr_cross(energies, x_dense, x_dense, key_mask, deterministic)
 
         graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(
-            x, g.node_gid, g.node_mask, b)
+            x, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 
         dos_global, dos_system = self._heads(

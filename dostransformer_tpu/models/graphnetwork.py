@@ -24,8 +24,8 @@ from dostransformer_tpu.nn.modules import (
     GraphEncoderEDOS,
     Processor,
     TorchLinear,
+    masked_node_pool,
 )
-from dostransformer_tpu.ops.segment import segment_sum
 
 
 class _GNBase(fnn.Module):
@@ -43,8 +43,7 @@ class _GNBase(fnn.Module):
         return x, edge_attr
 
     def _pool(self, g: GraphBatch, x):
-        return segment_sum(x * g.node_mask[:, None].astype(x.dtype),
-                           g.node_gid, g.num_graphs)
+        return masked_node_pool(x, g.node_mask)
 
 
 class GraphnetworkEDOS(_GNBase):
@@ -62,8 +61,7 @@ class GraphnetworkEDOS(_GNBase):
             g.nodes, g.edges, g.glob)
         x, edge_attr = self._message_passing(g, x, edge_attr)
 
-        graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(
-            x, u, g.node_gid, g.node_mask, b)
+        graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(x, u, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 
         h = jnp.concatenate([energies, graph], axis=-1)

@@ -17,8 +17,8 @@ from dostransformer_tpu.nn.modules import (
     GraphDecoderEDOS,
     GraphEncoderEDOS,
     TorchLinear,
+    masked_node_pool,
 )
-from dostransformer_tpu.ops.segment import segment_sum
 
 
 class MLPEDOS(fnn.Module):
@@ -33,8 +33,7 @@ class MLPEDOS(fnn.Module):
 
         x, _, u = GraphEncoderEDOS(self.hidden, name="GN_encoder")(
             g.nodes, g.edges, g.glob)
-        graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(
-            x, u, g.node_gid, g.node_mask, b)
+        graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(x, u, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 
         h = jnp.concatenate([energies, graph], axis=-1)
@@ -51,8 +50,7 @@ class MLP2EDOS(fnn.Module):
     def __call__(self, g: GraphBatch, deterministic: bool = True):
         x, _, u = GraphEncoderEDOS(self.hidden, name="GN_encoder")(
             g.nodes, g.edges, g.glob)
-        pooled = segment_sum(x * g.node_mask[:, None].astype(x.dtype),
-                             g.node_gid, g.num_graphs)
+        pooled = masked_node_pool(x, g.node_mask)
         h = jnp.concatenate([pooled, u], axis=-1)  # (mlp.py:52-53)
         h = jax.nn.leaky_relu(TorchLinear(self.hidden, name="out0")(h))
         return TorchLinear(self.n_bins, name="out1")(h)

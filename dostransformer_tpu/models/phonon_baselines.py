@@ -23,14 +23,13 @@ from dostransformer_tpu.nn.modules import (
     MLPBlock,
     Processor,
     TorchLinear,
+    masked_node_pool,
 )
 from dostransformer_tpu.ops.geometry import edge_geometry_phdos, smooth_cutoff
-from dostransformer_tpu.ops.segment import segment_sum
 
 
 def _pool(g: GraphBatch, x):
-    return segment_sum(x * g.node_mask[:, None].astype(x.dtype),
-                       g.node_gid, g.num_graphs)
+    return masked_node_pool(x, g.node_mask)
 
 
 class GraphnetworkPhDOS(fnn.Module):
@@ -57,8 +56,7 @@ class GraphnetworkPhDOS(fnn.Module):
             x = x + out_x
             edge_attr = edge_attr + out_e
 
-        graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(
-            x, g.node_gid, g.node_mask, b)
+        graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(x, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 
         h = jnp.concatenate([energies, graph], axis=-1)
@@ -110,17 +108,16 @@ class MLPPhDOS(fnn.Module):
         energies = jnp.broadcast_to(table[None], (b, self.n_bins, self.hidden))
 
         edge_len = jnp.linalg.norm(g.edge_vec, axis=-1)
-        edge_attr = smooth_cutoff(edge_len / self.r_max)[:, None] * g.edge_shift
+        edge_attr = smooth_cutoff(edge_len / self.r_max)[..., None] * g.edge_shift
 
         node_encoder = MLP2(self.hidden, name="node_encoder")
         x = node_encoder(g.nodes)
         z = node_encoder(g.node_z)  # shared encoder, mlp_phonon.py:98-99
         _ = MLP2(self.hidden, name="edge_encoder")(edge_attr)
 
-        mask = g.node_mask[:, None].astype(x.dtype)
         pooled = jnp.concatenate(
-            [segment_sum(z * mask, g.node_gid, b),
-             segment_sum(x * mask, g.node_gid, b)], axis=-1)
+            [masked_node_pool(z, g.node_mask),
+             masked_node_pool(x, g.node_mask)], axis=-1)
         graph = TorchLinear(self.hidden, name="decoder")(pooled)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
 

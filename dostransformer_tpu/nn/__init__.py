@@ -18,6 +18,7 @@ from dostransformer_tpu.nn.modules import (  # noqa: F401
     GraphEncoderPhDOS,
     GraphDecoderEDOS,
     GraphDecoderPhDOS,
+    masked_node_pool,
 )
 from dostransformer_tpu.nn.transformer import (  # noqa: F401
     TransformerEncoder,

@@ -2,28 +2,29 @@
 
 Faithful functional re-implementations of the reference's shared block
 structure (SURVEY.md §2.2; reference embedder_eDOS/DOSTransformer.py:100-189,
-embedder_phDOS/DOSTransformer_phonon.py:126-211), re-designed for fixed-shape
-padded graph batches:
+embedder_phDOS/DOSTransformer_phonon.py:126-211), re-designed for batch-leading
+fixed-shape graph batches ([B, A, .] nodes / [B, Eg, .] edges with local
+indices):
 
   * Encoder: node/edge(/global) MLPs  Linear->PReLU->Linear
   * Processor = EdgeModel (gather by edge endpoints + MLP) then NodeModel
-    (masked segment aggregation + MLP); the residual is applied by the caller
-    (DOSTransformer.py:56-59).
+    (masked per-graph segment aggregation + MLP); the residual is applied by
+    the caller (DOSTransformer.py:56-59).
   * EdgeModel mlp: Linear(3h->2h) -> LayerNorm -> PReLU -> Linear(2h->h)
   * NodeModel: scatter edge features onto the *receiver* node
     (col = edge_index[1], DOSTransformer.py:187) via segment-sum (eDOS) or
     segment-mean (phDOS, DOSTransformer_phonon.py:209), concat with x, then the
     same MLP shape. (The reference's node_mlp_1 is dead weight — created but
     never called — and is intentionally not reproduced.)
-  * Decoder: graph readout by masked segment-sum over nodes.
+  * Decoder: graph readout — with batch-leading layout, scatter_sum(x, batch)
+    is a masked sum over the node axis; no scatter op at all.
 
-All aggregations run over padded arrays: pad edges/nodes are excluded via
-masks, matching the reference's exact ragged semantics.
+All aggregations are graph-local: batch-axis sharding needs no collectives.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +34,7 @@ from dostransformer_tpu.nn.init import (
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
-from dostransformer_tpu.ops.segment import segment_mean, segment_sum
+from dostransformer_tpu.ops.segment import batched_segment_mean, batched_segment_sum
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
 
@@ -98,14 +99,15 @@ class MLPBlock(fnn.Module):
 
 
 class EdgeModel(fnn.Module):
-    """e' = MLP([x_src, x_dst, e]) (DOSTransformer.py:168-175)."""
+    """e' = MLP([x_src, x_dst, e]) (DOSTransformer.py:168-175).
+    x [B, A, h]; senders/receivers [B, Eg] local indices."""
 
     hidden: int
 
     @fnn.compact
     def __call__(self, x, senders, receivers, edge_attr):
-        src = x[senders]
-        dst = x[receivers]
+        src = jnp.take_along_axis(x, senders[..., None], axis=1)
+        dst = jnp.take_along_axis(x, receivers[..., None], axis=1)
         out = jnp.concatenate([src, dst, edge_attr], axis=-1)
         return MLPBlock(self.hidden * 2, self.hidden, name="edge_mlp")(out)
 
@@ -121,12 +123,12 @@ class NodeModel(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, senders, receivers, edge_attr, edge_mask):
-        n = x.shape[0]
-        masked = edge_attr * edge_mask[:, None].astype(edge_attr.dtype)
+        a = x.shape[1]
+        masked = edge_attr * edge_mask[..., None].astype(edge_attr.dtype)
         if self.aggregation == "sum":
-            agg = segment_sum(masked, receivers, n)
+            agg = batched_segment_sum(masked, receivers, a)
         elif self.aggregation == "mean":
-            agg = segment_mean(masked, receivers, n, weights=edge_mask)
+            agg = batched_segment_mean(masked, receivers, a, edge_mask)
         else:
             raise ValueError(self.aggregation)
         out = jnp.concatenate([x, agg], axis=-1)
@@ -157,7 +159,7 @@ class GraphEncoderEDOS(fnn.Module):
     def __call__(self, x, edge_attr, glob):
         x = MLP2(self.hidden, name="node_encoder")(x)
         edge_attr = MLP2(self.hidden, name="edge_encoder")(edge_attr)
-        u = MLP2(self.hidden, name="global_encoder")(glob.reshape(-1, glob.shape[-1]))
+        u = MLP2(self.hidden, name="global_encoder")(glob)
         return x, edge_attr, u
 
 
@@ -173,26 +175,30 @@ class GraphEncoderPhDOS(fnn.Module):
         return x, edge_attr
 
 
+def masked_node_pool(x: jax.Array, node_mask: jax.Array) -> jax.Array:
+    """scatter_sum(x, batch, dim=0) in batch-leading layout: masked sum over
+    the node axis. x [B, A, h] -> [B, h]."""
+    return (x * node_mask[..., None].astype(x.dtype)).sum(axis=1)
+
+
 class GraphDecoderEDOS(fnn.Module):
-    """Linear(2h->h)([glob_emb, masked segment_sum(x, graph)])
-    (DOSTransformer.py:151-161)."""
+    """Linear(2h->h)([glob_emb, pooled nodes]) (DOSTransformer.py:151-161)."""
 
     hidden: int
 
     @fnn.compact
-    def __call__(self, x, u, node_gid, node_mask, num_graphs):
-        pooled = segment_sum(x * node_mask[:, None].astype(x.dtype), node_gid, num_graphs)
+    def __call__(self, x, u, node_mask):
+        pooled = masked_node_pool(x, node_mask)
         out = jnp.concatenate([u, pooled], axis=-1)
         return TorchLinear(self.hidden, name="mlp")(out)
 
 
 class GraphDecoderPhDOS(fnn.Module):
-    """Linear(h->h)(masked segment_sum(x, graph))
-    (DOSTransformer_phonon.py:174-183)."""
+    """Linear(h->h)(pooled nodes) (DOSTransformer_phonon.py:174-183)."""
 
     hidden: int
 
     @fnn.compact
-    def __call__(self, x, node_gid, node_mask, num_graphs):
-        pooled = segment_sum(x * node_mask[:, None].astype(x.dtype), node_gid, num_graphs)
+    def __call__(self, x, node_mask):
+        pooled = masked_node_pool(x, node_mask)
         return TorchLinear(self.hidden, name="mlp")(pooled)

@@ -23,6 +23,7 @@ Layout: batch-first [B, L, D] (TPU-friendly; the reference uses torch's
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +116,7 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
         ],
         out_specs=pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
     )(qb, kb, vb, biasb)
     return out[:, :lq, :d]
 

@@ -57,7 +57,7 @@ def edge_geometry_phdos(edge_vec: jax.Array, r_max: float = 4.0) -> jax.Array:
     """
     sh = spherical_harmonics_l1(edge_vec)
     length = jnp.linalg.norm(edge_vec, axis=-1)
-    return smooth_cutoff(length / r_max)[:, None] * sh
+    return smooth_cutoff(length / r_max)[..., None] * sh
 
 
 def gaussian_basis_centers(dmin: float = 0.0, dmax: float = 8.0, step: float = 0.2) -> np.ndarray:

@@ -17,11 +17,18 @@ callers mask pad rows (multiply data by the mask) before aggregation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Run Pallas kernels in interpreter mode (CPU tests): set
+    DOSTPU_PALLAS_INTERPRET=1."""
+    return os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
@@ -52,6 +59,24 @@ def segment_mean(
     count = segment_sum(weights.astype(data.dtype), segment_ids, num_segments)
     count = jnp.maximum(count, 1.0)
     return total / count[(...,) + (None,) * (data.ndim - 1)]
+
+
+def batched_segment_sum(data: jax.Array, segment_ids: jax.Array,
+                        num_segments: int) -> jax.Array:
+    """Per-graph segment sum over batch-leading arrays: data [B, E, F],
+    segment_ids [B, E] (local, in [0, num_segments)) -> [B, num_segments, F].
+    Batch-local by construction — shards cleanly over the 'data' mesh axis."""
+    return jax.vmap(lambda d, i: segment_sum(d, i, num_segments))(data, segment_ids)
+
+
+def batched_segment_mean(data: jax.Array, segment_ids: jax.Array,
+                         num_segments: int, weights: jax.Array) -> jax.Array:
+    """Per-graph masked segment mean (torch scatter_mean semantics: empty
+    segments -> 0). data rows must already be masked by the caller."""
+    total = batched_segment_sum(data, segment_ids, num_segments)
+    count = batched_segment_sum(weights[..., None].astype(data.dtype),
+                                segment_ids, num_segments)
+    return total / jnp.maximum(count, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -136,5 +161,6 @@ def segment_sum_pallas(
         ],
         out_specs=pl.BlockSpec((tile_n, f_pad), lambda n, e_: (n, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, f_pad), data.dtype),
+        interpret=_interpret(),
     )(ids[None, :], buf)
     return out[:num_segments, :f]

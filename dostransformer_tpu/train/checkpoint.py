@@ -1,0 +1,86 @@
+"""Orbax checkpointing.
+
+The reference never serializes the model (SURVEY.md §5: torch.save appears only
+for datasets, mat2graph.py:259; "best model" exists only as metric scalars in
+memory). The TPU framework adds periodic checkpoints carrying params, optimizer
+state, PRNG key, step/epoch, and the best-metric tracker — giving restart-based
+failure recovery the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from dostransformer_tpu.train.early_stop import BestTracker
+from dostransformer_tpu.train.trainer import TrainState
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save/restore (TrainState, epoch, BestTracker)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        if not _HAS_ORBAX:
+            raise RuntimeError("orbax-checkpoint is not available")
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, epoch: int, state: TrainState, tracker: Optional[BestTracker] = None):
+        meta = {"epoch": epoch}
+        if tracker is not None:
+            meta["tracker"] = {
+                "es": tracker.es, "eval_every": tracker.eval_every,
+                "best_rmse": tracker.best_rmse, "best_mae": tracker.best_mae,
+                "best_epoch": tracker.best_epoch,
+                "best_losses": list(map(float, tracker.best_losses)),
+                "test_metrics": tracker.test_metrics,
+            }
+        self._mgr.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: TrainState, epoch: Optional[int] = None):
+        epoch = epoch if epoch is not None else self._mgr.latest_step()
+        if epoch is None:
+            return None
+        restored = self._mgr.restore(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        meta = restored["meta"]
+        tracker = None
+        if meta.get("tracker"):
+            t = meta["tracker"]
+            tracker = BestTracker(
+                es=t["es"], eval_every=t["eval_every"], best_rmse=t["best_rmse"],
+                best_mae=t["best_mae"], best_epoch=t["best_epoch"],
+                best_losses=list(t["best_losses"]),
+                test_metrics=t.get("test_metrics"),
+            )
+        return restored["state"], meta["epoch"], tracker

@@ -1,0 +1,49 @@
+"""Training loss.
+
+Reference semantics (main_eDOS.py:111-123; main_phDOS.py:109-114):
+  * targets are clamped at 0 from below during training (y = where(y<0, 0, y));
+    predictions are NOT clamped at train time (they are at eval —
+    utils.py:74-76 — the train/eval clamp asymmetry is normative);
+  * per-sample MSE over the energy bins -> sqrt -> mean over the batch, for
+    both heads: loss = rmse_global + beta * rmse_system.
+
+phDOS (batch_size 1) computes MSELoss over the whole [1, bins] tensor then
+sqrt — identical to the per-sample formula at batch 1.
+
+Padded dummy graphs (graph_mask == 0) are excluded from the batch mean.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def clamp_negative(y: jax.Array) -> jax.Array:
+    """torch.where(y < 0, 0, y) (main_eDOS.py:111-112)."""
+    return jnp.where(y < 0, 0.0, y)
+
+
+def per_sample_rmse(pred: jax.Array, y: jax.Array, eps: float = 0.0) -> jax.Array:
+    """sqrt(mean_bins((y - pred)^2)) per sample -> [B]."""
+    mse = jnp.mean((y - pred) ** 2, axis=-1)
+    return jnp.sqrt(mse + eps)
+
+
+def dos_loss(
+    preds_global: jax.Array,
+    preds_system: jax.Array,
+    y: jax.Array,
+    graph_mask: jax.Array,
+    beta: float = 1.0,
+    clamp_targets: bool = True,
+) -> tuple[jax.Array, dict]:
+    """loss = mean_b rmse_global + beta * mean_b rmse_system over real graphs."""
+    if clamp_targets:
+        y = clamp_negative(y)
+    m = graph_mask.astype(y.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    rmse_g = (per_sample_rmse(preds_global, y) * m).sum() / denom
+    rmse_s = (per_sample_rmse(preds_system, y) * m).sum() / denom
+    loss = rmse_g + beta * rmse_s
+    return loss, {"rmse_global": rmse_g, "rmse_system": rmse_s}

@@ -1,0 +1,156 @@
+"""jit/pjit training and evaluation steps.
+
+TPU-native runtime layer the reference lacks (SURVEY.md §1: execution there is
+eager single-device PyTorch). Design:
+
+  * one `TrainState` pytree (params, optax AdamW state, step, PRNG key);
+  * the train step is `jit`-compiled once per batch shape with donated state;
+  * data parallelism: every GraphBatch leaf is batch-leading ([B, ...]) and
+    sharded over the mesh's 'data' axis with a NamedSharding; params are
+    replicated. XLA inserts the gradient all-reduce over ICI automatically —
+    no explicit collectives (How-to-Scale recipe: pick a mesh, annotate
+    shardings, let XLA insert collectives).
+  * AdamW matches torch semantics (decoupled weight decay applied to ALL
+    parameters, betas (0.9, 0.999), eps 1e-8; reference main_eDOS.py:93).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dostransformer_tpu.data.graph import GraphBatch
+from dostransformer_tpu.train.loss import dos_loss
+from dostransformer_tpu.train.metrics import eval_metrics
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, rng):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), rng=rng)
+
+
+def make_adamw(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
+    """torch.optim.AdamW(lr, weight_decay=1e-2) semantics (main_eDOS.py:93):
+    decoupled decay on all parameters, betas (0.9, 0.999), eps 1e-8."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+
+
+class Trainer:
+    """Owns the compiled train/eval steps for one model + optimizer + mesh."""
+
+    def __init__(
+        self,
+        model,
+        tx: Optional[optax.GradientTransformation] = None,
+        beta: float = 1.0,
+        clamp_targets: bool = True,   # eDOS clamps train targets; phDOS targets
+                                      # are nonnegative (clamp is a no-op there)
+        eval_clamp: bool = True,      # eDOS `test` clamps; phDOS `test_phonon` doesn't
+        mesh: Optional[Mesh] = None,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.tx = tx if tx is not None else make_adamw()
+        self.beta = beta
+        self.clamp_targets = clamp_targets
+        self.eval_clamp = eval_clamp
+        self.mesh = mesh
+        self._train_step = None
+        self._eval_step = None
+        self._build()
+
+    # -- sharding -----------------------------------------------------------
+    def batch_sharding(self):
+        if self.mesh is None:
+            return None
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(self.mesh, P("data")), 0)
+
+    def shard_batch(self, batch: GraphBatch) -> GraphBatch:
+        """Place every leaf with its batch dim sharded over 'data'."""
+        if self.mesh is None:
+            return batch
+        sh = NamedSharding(self.mesh, P("data"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+    def replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        sh = NamedSharding(self.mesh, P())
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    # -- steps ---------------------------------------------------------------
+    def _build(self):
+        model, tx, beta = self.model, self.tx, self.beta
+        clamp_targets, eval_clamp = self.clamp_targets, self.eval_clamp
+
+        def loss_fn(params, batch: GraphBatch, rng):
+            deterministic = getattr(model, "attn_drop", 0.0) == 0.0
+            kwargs = {}
+            if not deterministic:
+                kwargs["rngs"] = {"dropout": rng}
+            dg, _, ds = model.apply({"params": params}, batch,
+                                    deterministic=deterministic, **kwargs)
+            return dos_loss(dg, ds, batch.y, batch.graph_mask, beta,
+                            clamp_targets)
+
+        def train_step(state: TrainState, batch: GraphBatch):
+            rng, sub = jax.random.split(state.rng)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, sub)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=opt_state, rng=rng)
+            return new_state, {"loss": loss, **aux}
+
+        def eval_step(params, batch: GraphBatch):
+            dg, x, ds = model.apply({"params": params}, batch,
+                                    deterministic=True)
+            m = eval_metrics(ds, batch.y, clamp=eval_clamp)
+            # graph embeddings export (utils.py:91): masked sum-pool of node
+            # embeddings per graph
+            emb = (x * batch.node_mask[..., None]).sum(axis=1)
+            m["embeddings"] = emb
+            m["preds_global"] = dg
+            return m
+
+        donate = (0,) if getattr(self, "_donate", True) else ()
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+
+            def batch_shardings(batch_treedef_like):
+                return jax.tree.map(lambda _: data, batch_treedef_like)
+
+            self._train_step = jax.jit(train_step, donate_argnums=donate,
+                                       out_shardings=(repl, repl))
+            self._eval_step = jax.jit(eval_step)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
+            self._eval_step = jax.jit(eval_step)
+
+    def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        params = self.model.init(rng, example_batch)["params"]
+        state = TrainState.create(params, self.tx, rng)
+        return self.replicate(state)
+
+    def train_step(self, state: TrainState, batch: GraphBatch):
+        return self._train_step(state, self.shard_batch(batch))
+
+    def eval_step(self, params, batch: GraphBatch):
+        return self._eval_step(params, self.shard_batch(batch))

@@ -1,0 +1,218 @@
+"""Independent PyTorch oracle for golden-parity tests.
+
+Re-implements the *behavior* of the reference models (as documented in
+SURVEY.md §2.2/§3.3) using plain torch ops (no torch_scatter/PyG — scatter via
+index_add), parameterized by the flax param pytree so both frameworks compute
+with identical weights. This is the "recorded reference activations" strategy
+of SURVEY.md §4, with the oracle generated on the fly.
+
+Functional style: every function takes (params_subtree, tensors) -> tensor.
+All math in torch float32 (double=False) or float64 for tight tolerances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+
+DTYPE = torch.float64  # run the oracle in f64: isolates our kernels' f32 error
+
+
+def t(x) -> torch.Tensor:
+    return torch.as_tensor(np.asarray(x), dtype=DTYPE)
+
+
+def linear(p, x):
+    return x @ t(p["kernel"]) + t(p["bias"])
+
+
+def prelu(p, x):
+    a = t(p["alpha"])
+    return torch.clamp(x, min=0) + a * torch.clamp(x, max=0)
+
+
+def layer_norm(p, x, eps=1e-5):
+    mu = x.mean(-1, keepdim=True)
+    var = x.var(-1, unbiased=False, keepdim=True)
+    return (x - mu) / torch.sqrt(var + eps) * t(p["scale"]) + t(p["bias"])
+
+
+def mlp2(p, x):
+    """Linear -> PReLU -> Linear (encoder MLP)."""
+    return linear(p["lin1"], prelu(p["prelu"], linear(p["lin0"], x)))
+
+
+def mlp_block(p, x):
+    """Linear -> LayerNorm -> PReLU -> Linear (Edge/NodeModel MLP)."""
+    h = linear(p["lin0"], x)
+    h = layer_norm(p["ln"], h)
+    h = prelu(p["prelu"], h)
+    return linear(p["lin1"], h)
+
+
+def scatter_sum(src, index, dim_size):
+    out = torch.zeros((dim_size,) + src.shape[1:], dtype=src.dtype)
+    return out.index_add(0, torch.as_tensor(index, dtype=torch.long), src)
+
+
+def scatter_mean(src, index, dim_size):
+    s = scatter_sum(src, index, dim_size)
+    cnt = scatter_sum(torch.ones(src.shape[0], dtype=src.dtype), index, dim_size)
+    return s / cnt.clamp(min=1).unsqueeze(-1)
+
+
+def processor(p, x, senders, receivers, edge_attr, aggregation="sum"):
+    """EdgeModel then NodeModel (reference DOSTransformer.py:137-148)."""
+    src, dst = x[senders], x[receivers]
+    e = mlp_block(p["edge_model"]["edge_mlp"],
+                  torch.cat([src, dst, edge_attr], dim=-1))
+    agg = (scatter_sum if aggregation == "sum" else scatter_mean)(
+        e, receivers, x.shape[0])
+    xn = mlp_block(p["node_model"]["node_mlp_2"], torch.cat([x, agg], dim=-1))
+    return xn, e
+
+
+def attention(q, k, v):
+    """Projection-free softmax(QK^T d^-0.5)V (multihead_attention.py:68-76).
+    Batch-first [B, L, D]."""
+    d = q.shape[-1]
+    w = torch.bmm(q, k.transpose(1, 2)) * d ** -0.5
+    w = torch.softmax(w, dim=-1)
+    return torch.bmm(w, v)
+
+
+def transformer_layer(p, x, x_k, x_v):
+    """Pre-LN layer (transformer.py:120-150): shared LN0 on q/k/v, attn,
+    residual; LN1, 4x FFN ReLU, residual."""
+    ln0 = p["ln0"]["ln"]
+    residual = x
+    q, k, v = layer_norm(ln0, x), layer_norm(ln0, x_k), layer_norm(ln0, x_v)
+    x = residual + attention(q, k, v)
+    residual = x
+    h = layer_norm(p["ln1"], x)
+    h = torch.relu(linear(p["fc1"], h))
+    h = linear(p["fc2"], h)
+    return residual + h
+
+
+def transformer_encoder(p, x_in, x_k_in=None, x_v_in=None, n_layers=2):
+    """Stack + final LN; k/v streams FIXED across layers (transformer.py:63-77)."""
+    x = x_in
+    x_k = x_in if x_k_in is None else x_k_in
+    x_v = x_in if x_v_in is None else x_v_in
+    for i in range(n_layers):
+        x = transformer_layer(p[f"layer{i}"], x, x_k, x_v)
+    return layer_norm(p["final_ln"], x)
+
+
+def sh_l1_component(vec):
+    """e3nn SH l<=1, normalize=True, 'component': [1, sqrt(3)(y,z,x)/r]."""
+    r = vec.norm(dim=-1, keepdim=True).clamp(min=1e-12)
+    u = vec / r
+    return torch.cat([torch.ones_like(r),
+                      np.sqrt(3.0) * u[:, (1, 2, 0)]], dim=-1)
+
+
+def smooth_cutoff(x):
+    u = 2.0 * (x - 1.0)
+    y = (1.0 - torch.cos(np.pi * u)) / 2.0
+    y = torch.where(u > 0, torch.zeros_like(y), y)
+    y = torch.where(u < -1, torch.ones_like(y), y)
+    return y
+
+
+def dostransformer_edos_forward(params, x, edge_index, edge_attr, glob, system,
+                                n_layers=3, t_layers=2, n_bins=201):
+    """Full eDOS flagship forward, single graph (B=1), no padding.
+    Mirrors reference DOSTransformer.forward (DOSTransformer.py:45-93)."""
+    p = params["params"] if "params" in params else params
+    x, edge_attr, glob = t(x), t(edge_attr), t(glob).reshape(1, -1)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+
+    energies = t(p["embeddings"]).unsqueeze(0)          # [1, bins, h]
+    enc = p["GN_encoder"]
+    h_x = mlp2(enc["node_encoder"], x)
+    h_e = mlp2(enc["edge_encoder"], edge_attr)
+    u = mlp2(enc["global_encoder"], glob)
+
+    for i in range(n_layers):
+        out_x, out_e = processor(p[f"processor{i}"], h_x, senders, receivers,
+                                 h_e, "sum")
+        h_x = h_x + out_x
+        h_e = h_e + out_e
+
+    x_dense = h_x.unsqueeze(0)                          # [1, A, h]
+    energies = transformer_encoder(p["transformer"], energies, x_dense, x_dense,
+                                   t_layers)
+
+    pooled = h_x.sum(0, keepdim=True)                   # scatter_sum, B=1
+    graph = linear(p["GN_decoder"]["mlp"], torch.cat([u, pooled], dim=-1))
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+
+    def head(dos_in):
+        d = transformer_encoder(p["transformer_self"], dos_in, dos_in, dos_in,
+                                t_layers)
+        d = transformer_encoder(p["transformer_source"], d, x_dense, x_dense,
+                                t_layers)
+        return linear(p["out_layer"], d)[..., 0]
+
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc"], torch.cat([energies, graph], dim=-1)))
+    dos_global = head(dos_in)
+
+    prompt = t(p["prompt_token"])[int(system)].reshape(1, 1, -1).expand(1, n_bins, -1)
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc_prompt"], torch.cat([energies, graph, prompt], dim=-1)))
+    dos_system = head(dos_in)
+    return dos_global, h_x, dos_system
+
+
+def dostransformer_phdos_forward(params, x, edge_index, edge_vec, system,
+                                 n_layers=3, t_layers=2, n_bins=51, r_max=4.0):
+    """Full phDOS flagship forward, single graph (B=1)
+    (DOSTransformer_phonon.py:66-119)."""
+    p = params["params"] if "params" in params else params
+    x, edge_vec = t(x), t(edge_vec)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+
+    edge_sh = sh_l1_component(edge_vec)
+    edge_len = edge_vec.norm(dim=-1)
+    edge_attr = smooth_cutoff(edge_len / r_max).unsqueeze(-1) * edge_sh
+
+    energies = t(p["embeddings"]).unsqueeze(0)
+    enc = p["GN_encoder"]
+    h_x = mlp2(enc["node_encoder"], x)
+    h_e = mlp2(enc["edge_encoder"], edge_attr)
+
+    for i in range(n_layers):
+        out_x, out_e = processor(p[f"processor{i}"], h_x, senders, receivers,
+                                 h_e, "mean")
+        h_x = h_x + out_x
+        h_e = h_e + out_e
+
+    x_dense = h_x.unsqueeze(0)
+    energies = transformer_encoder(p["transformer"], energies, x_dense, x_dense,
+                                   t_layers)
+
+    pooled = h_x.sum(0, keepdim=True)
+    graph = linear(p["GN_decoder"]["mlp"], pooled)
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+
+    def head(dos_in):
+        d = transformer_encoder(p["transformer_self"], dos_in, dos_in, dos_in,
+                                t_layers)
+        d = transformer_encoder(p["transformer_source"], d, x_dense, x_dense,
+                                t_layers)
+        return linear(p["out_layer"], d)[..., 0]
+
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc"], torch.cat([energies, graph], dim=-1)))
+    dos_global = head(dos_in)
+
+    prompt = t(p["prompt_token"])[int(system)].reshape(1, 1, -1).expand(1, n_bins, -1)
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc_prompt"], torch.cat([energies, graph, prompt], dim=-1)))
+    dos_system = head(dos_in)
+    return dos_global, h_x, dos_system

@@ -1,0 +1,112 @@
+"""Golden-parity tests: flax models vs the independent torch oracle with
+identical weights (SURVEY.md §4 parity strategy).
+
+Batch size 1 with exact shapes (no padding) — the configuration in which the
+reference's behavior is unambiguous (eval always runs at batch 1,
+main_eDOS.py:55-56).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dostransformer_tpu.data import collate, synthetic_edos_samples, synthetic_phdos_samples
+from dostransformer_tpu.models import DOSTransformerEDOS, DOSTransformerPhDOS
+
+from oracles import torch_oracle as oracle
+
+
+def _to_numpy_tree(params):
+    return jax.tree.map(np.asarray, params)
+
+
+class TestEDOSParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        (s,) = synthetic_edos_samples(1, seed=7, min_atoms=9, max_atoms=9)
+        batch = collate([s], atoms_per_graph=s.n_nodes,
+                        edges_per_graph=s.n_edges, use_buckets=False)
+        model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=64)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return s, batch, model, params
+
+    def test_forward_matches_oracle(self, setup):
+        s, batch, model, params = setup
+        dg, x, ds = model.apply(params, batch)
+        odg, ox, ods = oracle.dostransformer_edos_forward(
+            _to_numpy_tree(params), s.x, s.edge_index, s.edge_attr, s.glob,
+            s.system, n_layers=3, t_layers=2, n_bins=201)
+        np.testing.assert_allclose(np.asarray(x).reshape(-1, x.shape[-1]),
+                                   ox.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dg), odg.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ds), ods.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_padding_invariance_batch1(self, setup):
+        """With padding='mask', growing the pad buckets must not change the
+        outputs (SURVEY.md §4: padding invariance)."""
+        s, batch, model, params = setup
+        padded = collate([s], atoms_per_graph=s.n_nodes + 13,
+                         edges_per_graph=s.n_edges + 57, use_buckets=False)
+        dg1, _, ds1 = model.apply(params, batch)
+        dg2, _, ds2 = model.apply(params, padded)
+        np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ds1), np.asarray(ds2), rtol=1e-4, atol=1e-5)
+
+    def test_ref_padding_diverges_only_via_zero_keys(self, setup):
+        """padding='ref' adds zero-vector keys like torch to_dense_batch; at
+        exact shapes (no pad slots) it must equal padding='mask'."""
+        s, batch, _, _ = setup
+        model_ref = DOSTransformerEDOS(layers=3, t_layers=2, hidden=64, padding="ref")
+        model_mask = DOSTransformerEDOS(layers=3, t_layers=2, hidden=64, padding="mask")
+        params = model_ref.init(jax.random.PRNGKey(1), batch)
+        dg_r, _, ds_r = model_ref.apply(params, batch)
+        dg_m, _, ds_m = model_mask.apply(params, batch)
+        np.testing.assert_allclose(np.asarray(dg_r), np.asarray(dg_m), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds_r), np.asarray(ds_m), rtol=1e-5, atol=1e-6)
+
+
+class TestPhDOSParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        (s,) = synthetic_phdos_samples(1, seed=11, min_atoms=6, max_atoms=6)
+        batch = collate([s], atoms_per_graph=s.n_nodes,
+                        edges_per_graph=s.n_edges, use_buckets=False)
+        model = DOSTransformerPhDOS(layers=3, t_layers=2, hidden=64)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        return s, batch, model, params
+
+    def test_forward_matches_oracle(self, setup):
+        s, batch, model, params = setup
+        dg, x, ds = model.apply(params, batch)
+        odg, ox, ods = oracle.dostransformer_phdos_forward(
+            _to_numpy_tree(params), s.x, s.edge_index, s.edge_vec, s.system,
+            n_layers=3, t_layers=2, n_bins=51)
+        np.testing.assert_allclose(np.asarray(x).reshape(-1, x.shape[-1]),
+                                   ox.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dg), odg.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ds), ods.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_padding_invariance(self, setup):
+        s, batch, model, params = setup
+        padded = collate([s], atoms_per_graph=s.n_nodes + 5,
+                         edges_per_graph=s.n_edges + 21, use_buckets=False)
+        dg1, _, ds1 = model.apply(params, batch)
+        dg2, _, ds2 = model.apply(params, padded)
+        np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ds1), np.asarray(ds2), rtol=1e-4, atol=1e-5)
+
+
+class TestSharedHeadWeights:
+    def test_heads_share_transformer_params(self):
+        """The reference reuses transformer_self/transformer_source/out_layer
+        between heads (DOSTransformer.py:71-89): the param tree must contain
+        exactly one copy of each."""
+        (s,) = synthetic_edos_samples(1, seed=3, min_atoms=5, max_atoms=5)
+        batch = collate([s], use_buckets=False)
+        model = DOSTransformerEDOS(hidden=32)
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+        names = set(params.keys())
+        assert {"transformer", "transformer_self", "transformer_source",
+                "out_layer", "fc", "fc_prompt"} <= names
+        assert not any(n.endswith("_1") or n.endswith("_copy") for n in names)

@@ -1,0 +1,130 @@
+"""Unit tests for dostransformer_tpu.ops (SURVEY.md §4 unit strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dostransformer_tpu.ops import (
+    dot_product_attention,
+    edge_geometry_phdos,
+    fused_attention,
+    gaussian_basis,
+    segment_mean,
+    segment_sum,
+    segment_sum_pallas,
+    smooth_cutoff,
+    spherical_harmonics_l1,
+)
+
+
+class TestSegment:
+    def test_segment_sum_matches_loop(self):
+        rng = np.random.RandomState(0)
+        e, n, f = 500, 37, 19
+        data = rng.randn(e, f).astype(np.float32)
+        ids = rng.randint(0, n + 5, size=e).astype(np.int32)  # incl. OOB -> dropped
+        ref = np.zeros((n, f), np.float32)
+        for i in range(e):
+            if ids[i] < n:
+                ref[ids[i]] += data[i]
+        out = np.asarray(segment_sum(jnp.array(data), jnp.array(ids), n))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_segment_sum_pallas_differential(self):
+        rng = np.random.RandomState(1)
+        e, n, f = 777, 130, 65
+        data = rng.randn(e, f).astype(np.float32)
+        ids = rng.randint(0, n + 10, size=e).astype(np.int32)
+        ref = np.asarray(segment_sum(jnp.array(data), jnp.array(ids), n))
+        out = np.asarray(segment_sum_pallas(jnp.array(data), jnp.array(ids), n))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_segment_mean_torch_semantics(self):
+        # empty segments -> 0 (torch_scatter.scatter_mean behavior)
+        data = jnp.array([[2.0], [4.0], [6.0]])
+        ids = jnp.array([0, 0, 2])
+        out = np.asarray(segment_mean(data, ids, 4))
+        np.testing.assert_allclose(out[:, 0], [3.0, 0.0, 6.0, 0.0])
+
+    def test_segment_mean_masked(self):
+        data = jnp.array([[2.0], [4.0], [100.0]])
+        mask = jnp.array([1.0, 1.0, 0.0])
+        out = np.asarray(segment_mean(data * mask[:, None], jnp.array([0, 0, 0]), 1,
+                                      weights=mask))
+        np.testing.assert_allclose(out[0, 0], 3.0)
+
+
+class TestAttention:
+    def test_matches_numpy_oracle(self):
+        # 5-line NumPy oracle per SURVEY.md §4
+        rng = np.random.RandomState(0)
+        b, lq, lk, d = 2, 7, 11, 32
+        q, k, v = (rng.randn(b, n, d).astype(np.float32) for n in (lq, lk, lk))
+        s = np.einsum("bqd,bkd->bqk", q, k) * d ** -0.5
+        w = np.exp(s - s.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        ref = np.einsum("bqk,bkd->bqd", w, v)
+        out = np.asarray(dot_product_attention(*map(jnp.array, (q, k, v))))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_fused_differential(self, masked):
+        rng = np.random.RandomState(2)
+        b, lq, lk, d = 3, 201, 37, 256
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.3) if masked else None
+        ref = dot_product_attention(q, k, v, mask)
+        out = fused_attention(q, k, v, mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_gradients(self):
+        rng = np.random.RandomState(3)
+        b, lq, lk, d = 2, 16, 24, 64
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.2)
+        g1 = jax.grad(lambda *a: fused_attention(*a, mask).sum(), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: dot_product_attention(*a, mask).sum(), argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestGeometry:
+    def test_smooth_cutoff_regions(self):
+        # u = 2(x-1): 1 for x<0.5; ramp on [0.5, 1]; 0 for x>1
+        x = jnp.array([0.0, 0.25, 0.5, 0.75, 1.0, 1.5])
+        y = np.asarray(smooth_cutoff(x))
+        np.testing.assert_allclose(y[:3], [1.0, 1.0, 1.0], atol=1e-7)
+        np.testing.assert_allclose(y[3], 0.5, atol=1e-7)  # midpoint of cos ramp
+        np.testing.assert_allclose(y[4:], [0.0, 0.0], atol=1e-7)
+
+    def test_sh_l1_component_norm(self):
+        # golden values for unit axes under e3nn component normalization
+        v = jnp.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 0.5]])
+        sh = np.asarray(spherical_harmonics_l1(v))
+        s3 = np.sqrt(3.0)
+        np.testing.assert_allclose(sh[0], [1, 0, 0, s3], atol=1e-6)  # +x -> m=+1
+        np.testing.assert_allclose(sh[1], [1, s3, 0, 0], atol=1e-6)  # +y -> m=-1
+        np.testing.assert_allclose(sh[2], [1, 0, s3, 0], atol=1e-6)  # +z -> m=0
+        # component normalization: |Y_l|^2 sums to 2l+1 for any unit vector
+        u = jnp.array([[0.3, -0.4, 0.87]])
+        shu = np.asarray(spherical_harmonics_l1(u / jnp.linalg.norm(u)))
+        np.testing.assert_allclose((shu[0, 1:] ** 2).sum(), 3.0, rtol=1e-5)
+
+    def test_edge_geometry_zero_vec(self):
+        # self-loops at zero shift: cutoff(0)=1, SH=[1,0,0,0]
+        out = np.asarray(edge_geometry_phdos(jnp.zeros((1, 3))))
+        np.testing.assert_allclose(out[0], [1, 0, 0, 0], atol=1e-7)
+
+    def test_gaussian_basis_reference_semantics(self):
+        # mat2graph.py:176-179: exp(-(d-centers)^2/var^2), centers 0..8.2:0.2
+        d = jnp.array([0.0, 3.14, 9.0])  # incl. the 12-NN pad distance 9.0
+        out = np.asarray(gaussian_basis(d))
+        assert out.shape == (3, 41)
+        centers = np.arange(0, 8.2, 0.2)
+        ref = np.exp(-((np.array([0.0, 3.14, 9.0])[:, None] - centers) ** 2) / 0.04)
+        np.testing.assert_allclose(out, ref.astype(np.float32), rtol=1e-5, atol=1e-7)
