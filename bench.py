@@ -1,0 +1,100 @@
+"""Benchmark: eDOS flagship train-step throughput vs the eager-PyTorch baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+- Ours: jit-compiled DOSTransformerEDOS train step (default config h=256,
+  layers=3, t_layers=2, batch 8 — the reference's headline training config,
+  reference utils.py:25-43) on whatever device JAX selects (real TPU under
+  axon; CPU elsewhere).
+- Baseline: behaviorally equivalent eager PyTorch trainer
+  (benchmarks/torch_reference.py) — the reference repo publishes no numbers
+  and its CUDA/PyG env is unavailable (BASELINE.md), so the baseline is
+  measured once on this host's CPU and cached in BENCH_BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+BATCH = 8
+HIDDEN = 256
+LAYERS = 3
+T_LAYERS = 2
+N_SAMPLES = 64
+WARMUP = 3
+STEPS = 30
+
+
+def _samples():
+    from dostransformer_tpu.data import synthetic_edos_samples
+
+    return synthetic_edos_samples(N_SAMPLES, seed=0, min_atoms=4, max_atoms=24)
+
+
+def measure_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["edos_train_samples_per_sec"]
+    from benchmarks.torch_reference import measure_torch_throughput
+
+    sps = measure_torch_throughput(_samples(), batch_size=BATCH, h=HIDDEN,
+                                   layers=LAYERS, t_layers=T_LAYERS,
+                                   warmup=2, steps=8)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"edos_train_samples_per_sec": sps,
+                   "config": {"batch": BATCH, "hidden": HIDDEN,
+                              "layers": LAYERS, "t_layers": T_LAYERS},
+                   "host": "cpu-eager-torch"}, f, indent=1)
+    return sps
+
+
+def measure_jax() -> float:
+    import jax
+
+    from dostransformer_tpu.data.datasets import GraphLoader
+    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.train.trainer import Trainer
+
+    samples = _samples()
+    loader = GraphLoader(samples, batch_size=BATCH, shuffle=True, seed=0)
+    batches = list(loader)[: max(4, STEPS)]
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS, hidden=HIDDEN,
+                               use_pallas=on_tpu)
+    trainer = Trainer(model)
+    state = trainer.init_state(batches[0], seed=0)
+
+    for i in range(WARMUP):
+        state, m = trainer.train_step(state, batches[i % len(batches)])
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, m = trainer.train_step(state, batches[i % len(batches)])
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return STEPS * BATCH / dt
+
+
+def main():
+    baseline = measure_baseline()
+    ours = measure_jax()
+    print(json.dumps({
+        "metric": "edos_train_samples_per_sec",
+        "value": round(ours, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

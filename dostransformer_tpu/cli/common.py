@@ -1,0 +1,227 @@
+"""Shared CLI plumbing: argparse surface + the epoch/eval/early-stop driver.
+
+Behavioral spec (reference main_eDOS.py:95-188, main_phDOS.py:95-179):
+  * epoch loop over shuffled train batches; jit train step;
+  * every `--eval` epochs run the valid set (batch 1 in the reference; here the
+    same fixed padded shape), apply the three-branch best tracking
+    (re-running the test set on improvement), then the plateau early-stop;
+  * on finish (early or exhausted) append a result line to
+    experiments_{embedder}.txt — same fields, same best-metric semantics —
+    plus structured JSONL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from dostransformer_tpu.config import TrainConfig, exp_get_name
+from dostransformer_tpu.data.datasets import GraphLoader
+from dostransformer_tpu.data.graph import GraphSample
+from dostransformer_tpu.models.registry import build_model
+from dostransformer_tpu.parallel.mesh import make_mesh
+from dostransformer_tpu.train.early_stop import BestTracker
+from dostransformer_tpu.train.logging import JSONLLogger
+from dostransformer_tpu.train.metrics import MetricAccumulator
+from dostransformer_tpu.train.trainer import Trainer, make_adamw
+
+
+def build_arg_parser(task: str) -> argparse.ArgumentParser:
+    """The reference's 13 flags (utils.py:25-43) + TPU-native extensions."""
+    p = argparse.ArgumentParser(f"dostpu-{task}")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8 if task == "edos" else 1)
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--transformer", type=int, default=2)
+    p.add_argument("--eval", type=int, default=5)
+    p.add_argument("--es", type=int, default=50)
+    p.add_argument("--embedder", type=str, default="DOSTransformer")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--random_state", type=int, default=0)
+    p.add_argument("--dataset", type=str, default="whole",
+                   choices=["whole", "ood_crystal", "ood_element"])
+    p.add_argument("--attn_drop", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beta", type=float, default=1.0)
+    # TPU-native extensions
+    p.add_argument("--data_dir", type=str, default="./data/processed")
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="train on N synthetic samples (no dataset files needed)")
+    p.add_argument("--padding", type=str, default="mask", choices=["mask", "ref"])
+    p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all visible devices")
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--log_jsonl", type=str, default=None)
+    p.add_argument("--results_dir", type=str, default=".")
+    p.add_argument("--exp_name", type=str, default="")
+    p.add_argument("--export_preds", type=str, default=None, metavar="NPZ",
+                   help="write test-set predictions/targets/embeddings "
+                        "(the reference's preds_y structure, utils.py:93-109)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace output directory")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    return TrainConfig(
+        lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        layers=args.layers, transformer=args.transformer,
+        eval_every=args.eval, es=args.es, embedder=args.embedder,
+        hidden=args.hidden, random_state=args.random_state,
+        dataset=args.dataset, attn_drop=args.attn_drop, seed=args.seed,
+        beta=args.beta, padding=args.padding,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, log_jsonl=args.log_jsonl,
+    )
+
+
+def run_training(
+    task: str,
+    cfg: TrainConfig,
+    train: Sequence[GraphSample],
+    valid: Sequence[GraphSample],
+    test: Sequence[GraphSample],
+    use_pallas: Optional[bool] = None,
+    data_parallel: bool = False,
+    results_dir: str = ".",
+    export_preds: Optional[str] = None,
+    profile_dir: Optional[str] = None,
+) -> dict:
+    """Train + eval + early stop; returns the final best metrics."""
+    model = build_model(task, cfg.embedder, layers=cfg.layers,
+                        t_layers=cfg.transformer, hidden=cfg.hidden,
+                        attn_drop=cfg.attn_drop, padding=cfg.padding,
+                        use_pallas=use_pallas)
+    mesh = make_mesh(axes=("data",)) if data_parallel else None
+    is_edos = task == "edos"
+    trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
+                      beta=cfg.beta, clamp_targets=is_edos,
+                      eval_clamp=is_edos, mesh=mesh)
+
+    loader = GraphLoader(train, batch_size=cfg.batch_size, shuffle=True,
+                         seed=cfg.seed)
+    # pin eval shapes to the training buckets: one compiled shape per split
+    mk_eval = lambda ss: GraphLoader(
+        ss, batch_size=1,
+        atoms_per_graph=max(loader.atoms_per_graph,
+                            *(s.n_nodes for s in list(valid) + list(test))),
+        edges_per_graph=max(loader.edges_per_graph,
+                            *(max(s.n_edges, 1) for s in list(valid) + list(test))))
+    valid_loader, test_loader = mk_eval(valid), mk_eval(test)
+
+    state = trainer.init_state(next(iter(loader)), seed=cfg.seed)
+    tracker = BestTracker(es=cfg.es, eval_every=cfg.eval_every)
+    logger = JSONLLogger(cfg.log_jsonl)
+    ckpt = None
+    if cfg.checkpoint_dir and cfg.checkpoint_every:
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, start_epoch, rtracker = restored
+            tracker = rtracker or tracker
+            print(f"resumed from epoch {start_epoch}")
+
+    def run_eval(loader_, artifacts=None):
+        acc = MetricAccumulator()
+        for batch in loader_:
+            m = trainer.eval_step(state.params, batch)
+            acc.update(m)
+            if artifacts is not None:
+                artifacts.update(m, batch)
+        return acc.result()
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    t_start = time.perf_counter()
+    n_steps = 0
+    stopped_early = False
+    for epoch in range(cfg.epochs):
+        losses = []
+        for batch in loader:
+            state, m = trainer.train_step(state, batch)
+            losses.append(m["loss"])
+            n_steps += 1
+        mean_loss = float(np.mean([float(l) for l in losses]))
+        sys.stdout.write(
+            f"\r[ epoch {epoch + 1}/{cfg.epochs} ] loss {mean_loss:.4f} ")
+        sys.stdout.flush()
+        logger.log({"epoch": epoch + 1, "loss": mean_loss})
+
+        if (epoch + 1) % cfg.eval_every == 0:
+            vm = run_eval(valid_loader)
+            logger.log({"epoch": epoch + 1, "valid": vm})
+            if tracker.update(epoch + 1, vm["rmse"], vm["mae"]):
+                tm = run_eval(test_loader)
+                tracker.record_test(tm)
+                logger.log({"epoch": epoch + 1, "test": tm})
+                print(f"\n[eval {epoch + 1}] valid rmse {vm['rmse']:.4f} "
+                      f"mae {vm['mae']:.4f} | test rmse {tm['rmse']:.4f} "
+                      f"r2 {tm['r2']:.4f}")
+            if tracker.step_and_should_stop():
+                stopped_early = True
+                break
+        if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
+            ckpt.save(epoch + 1, state, tracker)
+
+    elapsed = time.perf_counter() - t_start
+    if profile_dir:
+        jax.profiler.stop_trace()
+    if export_preds:
+        from dostransformer_tpu.train.artifacts import EvalArtifacts
+
+        art = EvalArtifacts()
+        run_eval(test_loader, artifacts=art)
+        mp_by_id = {}
+        for s in list(train) + list(valid) + list(test):
+            mp_by_id[int(s.sample_id)] = s.mp_id
+        mp_ids = [mp_by_id.get(i, str(i))
+                  for i in range(max(mp_by_id, default=-1) + 1)]
+        art.save(export_preds, mp_ids=mp_ids)
+        print(f"\nwrote eval artifacts -> {export_preds}")
+    sps = n_steps * cfg.batch_size / max(elapsed, 1e-9)
+    result = {
+        "best_epoch": tracker.best_epoch,
+        "best_valid_rmse": tracker.best_rmse,
+        "best_valid_mae": tracker.best_mae,
+        "test": tracker.test_metrics,
+        "samples_per_sec": sps,
+        "stopped_early": stopped_early,
+    }
+    logger.log({"final": result})
+    logger.close()
+    _write_results_line(task, cfg, result, results_dir)
+    return result
+
+
+def _write_results_line(task: str, cfg: TrainConfig, result: dict,
+                        results_dir: str):
+    """Append-only experiments_{embedder}.txt, reference format
+    (main_eDOS.py:91,167-186)."""
+    os.makedirs(results_dir, exist_ok=True)
+    path = os.path.join(results_dir, f"experiments_{cfg.embedder}.txt")
+    tm = result.get("test") or {}
+    with open(path, "a") as f:
+        f.write(f"{exp_get_name(cfg)}\n")
+        f.write(
+            "best epoch: {} | test rmse: {:.4f} | test mse: {:.4f} | "
+            "test mae: {:.4f} | test r2: {:.4f} | samples/sec: {:.2f}\n".format(
+                result["best_epoch"], tm.get("rmse", float("nan")),
+                tm.get("mse", float("nan")), tm.get("mae", float("nan")),
+                tm.get("r2", float("nan")), result["samples_per_sec"]))
+
+
+def resolve_device_info() -> str:
+    d = jax.devices()[0]
+    return f"{jax.default_backend()}:{d.device_kind} x{len(jax.devices())}"

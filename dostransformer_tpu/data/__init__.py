@@ -7,6 +7,14 @@ from dostransformer_tpu.data.graph import (  # noqa: F401
     collate,
     bucket_size,
 )
+from dostransformer_tpu.data.datasets import (  # noqa: F401
+    GraphLoader,
+    edos_ood_split,
+    edos_random_split,
+    element_balanced_split,
+    read_index_file,
+    train_test_split,
+)
 from dostransformer_tpu.data.synthetic import (  # noqa: F401
     synthetic_edos_samples,
     synthetic_phdos_samples,

@@ -1,0 +1,185 @@
+"""eDOS featurizer: Materials Project records -> GraphSamples.
+
+Behavioral port of the reference's mat2graph.py pipeline with the
+dependency-provided kernels replaced in-repo (SURVEY.md §2.4):
+  * matscholar element embeddings (200-d per element, JSON keyed by symbol)
+    loaded in atomic-number order Z=1..100 and column-standardized like
+    sklearn.preprocessing.scale (mat2graph.py:33-47);
+  * pymatgen `get_all_neighbors(radius=8)` -> NumPy periodic neighbor search
+    (:mod:`dostransformer_tpu.data.neighbors`); 12-NN sort/truncate/pad with
+    (index 0, distance radius+1) (mat2graph.py:212-243);
+  * Gaussian distance expansion, centers arange(0, 8.2, 0.2) -> 41 dims,
+    var = step (mat2graph.py:162-179);
+  * one all-zero 200-d "prompt node" row appended per graph — node count
+    n_atoms+1, no incident edges (mat2graph.py:155-158);
+  * labels y = y/y.max(), y_ft = y_ft/y_ft.max(), y_max kept; glob =
+    [energy_per_atom, formation_energy_per_atom]; band_gap; efermi;
+    crystal-system id 0..6 from the lowercase system name (mat2graph.py:80-107).
+
+Structure input: either a pre-parsed dict {"numbers", "cart_coords",
+"lattice"} or a CIF string (CIF parsing requires pymatgen and is gated —
+pymatgen is an offline-only dependency in the reference too).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from dostransformer_tpu.config import crystal_system_id
+from dostransformer_tpu.data.elements import SYMBOLS
+from dostransformer_tpu.data.graph import GraphSample
+from dostransformer_tpu.data.neighbors import knn_edges
+
+N_MATSCHOLAR_ELEMENTS = 100  # Z = 1..100 (H..Fm), mat2graph.py:15-26
+
+
+def standardize_columns(x: np.ndarray) -> np.ndarray:
+    """sklearn.preprocessing.scale semantics: per-column zero mean, unit
+    population std (ddof=0); zero-variance columns pass through centered."""
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    sd = np.where(sd == 0.0, 1.0, sd)
+    return (x - mu) / sd
+
+
+def load_elem_feats(path_elem_embs: str) -> np.ndarray:
+    """matscholar-embedding.json -> [100, 200] standardized element features,
+    row order Z-1 (mat2graph.py:33-47)."""
+    with open(path_elem_embs) as f:
+        embs = json.load(f)
+    rows = [np.asarray(embs[SYMBOLS[z]], np.float64)
+            for z in range(N_MATSCHOLAR_ELEMENTS)]
+    return standardize_columns(np.vstack(rows))
+
+
+def gaussian_expand(distances: np.ndarray, dmin: float = 0.0,
+                    dmax: float = 8.0, step: float = 0.2,
+                    var: Optional[float] = None) -> np.ndarray:
+    """Gaussian basis expansion (mat2graph.py:162-179)."""
+    if var is None:
+        var = step
+    centers = np.arange(dmin, dmax + step, step)
+    return np.exp(-((distances[..., None] - centers) ** 2) / var ** 2)
+
+
+def build_sample(
+    elem_feats: np.ndarray,
+    numbers: Sequence[int],
+    cart_coords: np.ndarray,
+    lattice: np.ndarray,
+    y: np.ndarray,
+    y_ft: np.ndarray,
+    glob: Sequence[float],
+    crystal_system: str = "",
+    band_gap: float = 0.0,
+    efermi: float = 0.0,
+    mp_id: str = "",
+    sample_id: int = 0,
+    radius: float = 8.0,
+    max_num_nbr: int = 12,
+) -> GraphSample:
+    """One crystal -> GraphSample (mat2graph.py get_crystal_graph semantics)."""
+    numbers = np.asarray(numbers, np.int64)
+    cart_coords = np.asarray(cart_coords, np.float64)
+    lattice = np.asarray(lattice, np.float64)
+
+    x = elem_feats[numbers - 1]                        # [n, 200]
+    x = np.vstack([x, np.zeros((1, x.shape[1]))])      # zero prompt node
+
+    edge_index, dist = knn_edges(cart_coords, lattice, radius=radius,
+                                 max_num_nbr=max_num_nbr)
+    edge_attr = gaussian_expand(dist, dmax=radius)
+
+    y = np.asarray(y, np.float64)
+    y_ft = np.asarray(y_ft, np.float64)
+    y_max = float(y_ft.max())
+    return GraphSample(
+        x=x.astype(np.float32),
+        edge_index=edge_index,
+        edge_attr=edge_attr.astype(np.float32),
+        glob=np.asarray(glob, np.float32),
+        y=(y_ft / y_ft.max()).astype(np.float32),      # y_ft is the train target
+        y_raw=(y / y.max()).astype(np.float32),
+        y_max=y_max,
+        band_gap=float(band_gap),
+        efermi=float(efermi),
+        system=crystal_system_id(crystal_system, phonon=False),
+        mp_id=mp_id,
+        sample_id=sample_id,
+    )
+
+
+def structure_from_cif(cif: str):
+    """CIF string -> (numbers, cart_coords, lattice); needs pymatgen
+    (offline-only, exactly like the reference's featurizer)."""
+    try:
+        from pymatgen.core.structure import Structure
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "CIF parsing requires pymatgen; pre-parse structures into "
+            "{'numbers', 'cart_coords', 'lattice'} dicts instead") from e
+    s = Structure.from_str(cif, fmt="cif")
+    return (np.array(s.atomic_numbers), np.array(s.cart_coords),
+            np.array(s.lattice.matrix))
+
+
+def load_dataset(
+    mp_data: dict,
+    dos_data: dict,
+    original_dataset_mp_id: Sequence[str],
+    path_elem_embs: str,
+    radius: float = 8.0,
+) -> List[GraphSample]:
+    """mp.pkl/dos.pkl-shaped dicts -> GraphSamples (mat2graph.py:69-117)."""
+    elem_feats = load_elem_feats(path_elem_embs)
+    keep = set(original_dataset_mp_id)
+    out, errors = [], 0
+    for i, (mp_id, rec) in enumerate(mp_data.items()):
+        if mp_id not in keep:
+            continue
+        try:
+            numbers, coords, lattice = structure_from_cif(rec["cif"])
+            out.append(build_sample(
+                elem_feats, numbers, coords, lattice,
+                y=np.asarray(dos_data[mp_id]["densities_total_1"]),
+                y_ft=np.asarray(dos_data[mp_id]["densities_total_1_ft"]),
+                glob=[rec["energy_per_atom"], rec["formation_energy_per_atom"]],
+                crystal_system=rec["spacegroup"]["crystal_system"],
+                band_gap=rec.get("band_gap", 0.0),
+                efermi=dos_data[mp_id].get("efermi", 0.0),
+                mp_id=mp_id, sample_id=i, radius=radius))
+        except Exception:
+            errors += 1
+    print(f"Converted {len(out)} | errors {errors}")
+    return out
+
+
+def main(argv=None):
+    import argparse
+    import pickle
+
+    from dostransformer_tpu.data.io import save_samples
+
+    p = argparse.ArgumentParser("featurize_edos")
+    p.add_argument("mp_pkl")
+    p.add_argument("dos_pkl")
+    p.add_argument("out", help="output .npz path")
+    p.add_argument("--elem_embs", required=True,
+                   help="path to matscholar-embedding.json")
+    p.add_argument("--radius", type=float, default=8.0)
+    args = p.parse_args(argv)
+    with open(args.mp_pkl, "rb") as f:
+        mp_data = pickle.load(f)
+    with open(args.dos_pkl, "rb") as f:
+        dos_data = pickle.load(f)
+    samples = load_dataset(mp_data, dos_data, list(mp_data.keys()),
+                           args.elem_embs, radius=args.radius)
+    save_samples(args.out, samples)
+    print(f"featurized {len(samples)} crystals -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -137,8 +137,17 @@ def collate(
     fx = samples[0].x.shape[1]
     bins = samples[0].y.shape[-1]
 
-    nodes = np.zeros((b, a, fx), np.float32)
-    node_mask = np.zeros((b, a), np.float32)
+    # node features + mask: native C++ packer (the collation engine) when
+    # built, NumPy otherwise — identical output
+    from dostransformer_tpu import native
+
+    packed = (native.pack_f32([s.x for s in samples], a, fx)
+              if b == b_real and native.available() else None)
+    if packed is not None:
+        nodes, node_mask = packed
+    else:
+        nodes = np.zeros((b, a, fx), np.float32)
+        node_mask = np.zeros((b, a), np.float32)
     senders = np.zeros((b, eg), np.int32)
     receivers = np.zeros((b, eg), np.int32)
     edge_mask = np.zeros((b, eg), np.float32)
@@ -156,8 +165,9 @@ def collate(
 
     for g, s in enumerate(samples):
         n, e = s.n_nodes, s.n_edges
-        nodes[g, :n] = s.x
-        node_mask[g, :n] = 1.0
+        if packed is None:
+            nodes[g, :n] = s.x
+            node_mask[g, :n] = 1.0
         senders[g, :e] = s.edge_index[0]
         receivers[g, :e] = s.edge_index[1]
         edge_mask[g, :e] = 1.0

@@ -1,0 +1,135 @@
+"""Native host-side runtime (C++ via ctypes).
+
+In-repo equivalents of the native kernels the reference gets from its
+dependencies (SURVEY.md §2.4): periodic neighbor search (ASE C /
+pymatgen) and batch collation (PyG's C++-backed DataLoader). The NumPy
+implementations in data/neighbors.py and data/graph.py remain behind the same
+call sites as the differential-test oracle and the no-compiler fallback.
+
+Set DOSTPU_NO_NATIVE=1 to force the NumPy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("DOSTPU_NO_NATIVE") == "1":
+        return None
+    try:
+        from dostransformer_tpu.native.build import build
+
+        lib = ctypes.CDLL(build())
+    except Exception:
+        return None
+
+    lib.dostpu_neighbor_list.restype = ctypes.c_int64
+    lib.dostpu_neighbor_list.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dostpu_pack_f32.restype = None
+    lib.dostpu_pack_i32.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def neighbor_list_pbc_native(
+    positions: np.ndarray,
+    cell: np.ndarray,
+    cutoff: float,
+    pbc: Tuple[bool, bool, bool] = (True, True, True),
+    self_interaction: bool = True,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ periodic neighbor search; None when the library is unavailable.
+    Same contract as data.neighbors.neighbor_list_pbc."""
+    lib = _load()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float64)
+    cell = np.ascontiguousarray(cell, np.float64)
+    n = positions.shape[0]
+    pbc_arr = np.asarray(pbc, np.uint8)
+    pbc_ptr = pbc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    count = lib.dostpu_neighbor_list(_dptr(positions), n, _dptr(cell),
+                                     float(cutoff), int(self_interaction),
+                                     pbc_ptr, 0, None, None, None)
+    if count < 0:
+        return None
+    src = np.empty(count, np.int64)
+    dst = np.empty(count, np.int64)
+    shifts = np.empty((count, 3), np.int64)
+    got = lib.dostpu_neighbor_list(_dptr(positions), n, _dptr(cell),
+                                   float(cutoff), int(self_interaction),
+                                   pbc_ptr, count, _iptr(src), _iptr(dst),
+                                   _iptr(shifts))
+    if got != count:
+        return None
+    return src, dst, shifts
+
+
+def pack_f32(arrays, r: int, c: int, with_mask: bool = True):
+    """Pack a list of [n_i, c] float32 arrays into ([B, r, c], mask [B, r]).
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = len(arrays)
+    arrays = [np.ascontiguousarray(a, np.float32) for a in arrays]
+    rows = np.array([a.shape[0] for a in arrays], np.int64)
+    assert all(a.shape[1] == c for a in arrays) and rows.max(initial=0) <= r
+    out = np.zeros((b, r, c), np.float32)
+    mask = np.zeros((b, r), np.float32) if with_mask else None
+    PtrArray = ctypes.POINTER(ctypes.c_float) * b
+    srcs = PtrArray(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                      for a in arrays])
+    lib.dostpu_pack_f32(
+        srcs, _iptr(rows), b, r, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if with_mask else None)
+    return out, mask
+
+
+def pack_i32(arrays, r: int, c: int):
+    """Pack a list of [n_i, c] int32 arrays into [B, r, c] (zero padded)."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = len(arrays)
+    arrays = [np.ascontiguousarray(a, np.int32) for a in arrays]
+    rows = np.array([a.shape[0] for a in arrays], np.int64)
+    assert all(a.shape[1] == c for a in arrays) and rows.max(initial=0) <= r
+    out = np.zeros((b, r, c), np.int32)
+    PtrArray = ctypes.POINTER(ctypes.c_int32) * b
+    srcs = PtrArray(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                      for a in arrays])
+    lib.dostpu_pack_i32(srcs, _iptr(rows), b, r, c,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

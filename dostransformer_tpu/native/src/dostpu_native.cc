@@ -1,0 +1,136 @@
+// Native host-side runtime: periodic neighbor search + fixed-shape batch
+// packing.
+//
+// The reference delegates these to native kernels in its dependencies
+// (SURVEY.md §2.4): ASE's C neighbor_list / pymatgen's C-accelerated
+// get_all_neighbors for the neighbor search, and PyG's C++-backed
+// DataLoader/Batch collation for batching. This library is the TPU
+// framework's in-repo equivalent, exposed to Python via ctypes
+// (dostransformer_tpu/native/__init__.py). The algorithms mirror the NumPy
+// reference implementations in data/neighbors.py and data/graph.py exactly —
+// the Python versions remain behind the same call sites for differential
+// testing and as a no-compiler fallback.
+//
+// Build: python -m dostransformer_tpu.native.build   (plain g++ -O3 -shared)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// 3x3 inverse; rows of `cell` are lattice vectors. Returns false if singular.
+bool invert3x3(const double* m, double* inv) {
+  const double a = m[0], b = m[1], c = m[2];
+  const double d = m[3], e = m[4], f = m[5];
+  const double g = m[6], h = m[7], i = m[8];
+  const double det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g);
+  if (std::fabs(det) < 1e-300) return false;
+  const double r = 1.0 / det;
+  inv[0] = (e * i - f * h) * r;
+  inv[1] = (c * h - b * i) * r;
+  inv[2] = (b * f - c * e) * r;
+  inv[3] = (f * g - d * i) * r;
+  inv[4] = (a * i - c * g) * r;
+  inv[5] = (c * d - a * f) * r;
+  inv[6] = (d * h - e * g) * r;
+  inv[7] = (b * g - a * h) * r;
+  inv[8] = (a * e - b * d) * r;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Periodic neighbor search, ASE neighbor_list("ijS") semantics (pairs with
+// |pos[j] + S@cell - pos[i]| < cutoff; self_interaction keeps (i,i,S=0)).
+//
+// Two-phase contract: call with src == nullptr to get the edge count, then
+// with buffers of that size. Returns the edge count, or -1 on error.
+int64_t dostpu_neighbor_list(const double* positions, int64_t n,
+                             const double* cell,  // row-major 3x3
+                             double cutoff, int self_interaction,
+                             const uint8_t* pbc,  // [3] booleans
+                             int64_t capacity, int64_t* src, int64_t* dst,
+                             int64_t* shifts /* [capacity, 3] */) {
+  double inv[9];
+  if (!invert3x3(cell, inv)) return -1;
+
+  // images needed per axis: ceil(cutoff * |column i of inv(cell)|)
+  int64_t nmax[3];
+  for (int i = 0; i < 3; ++i) {
+    const double norm = std::sqrt(inv[0 + i] * inv[0 + i] +
+                                  inv[3 + i] * inv[3 + i] +
+                                  inv[6 + i] * inv[6 + i]);
+    nmax[i] = pbc[i] ? static_cast<int64_t>(std::ceil(cutoff * norm)) : 0;
+  }
+
+  const double cutoff2 = cutoff * cutoff;
+  int64_t count = 0;
+  const bool fill = src != nullptr;
+
+  for (int64_t sx = -nmax[0]; sx <= nmax[0]; ++sx) {
+    for (int64_t sy = -nmax[1]; sy <= nmax[1]; ++sy) {
+      for (int64_t sz = -nmax[2]; sz <= nmax[2]; ++sz) {
+        const bool zero_shift = (sx == 0 && sy == 0 && sz == 0);
+        const double ox = sx * cell[0] + sy * cell[3] + sz * cell[6];
+        const double oy = sx * cell[1] + sy * cell[4] + sz * cell[7];
+        const double oz = sx * cell[2] + sy * cell[5] + sz * cell[8];
+        for (int64_t i = 0; i < n; ++i) {
+          const double pix = positions[3 * i], piy = positions[3 * i + 1],
+                       piz = positions[3 * i + 2];
+          for (int64_t j = 0; j < n; ++j) {
+            if (zero_shift && i == j && !self_interaction) continue;
+            const double dx = positions[3 * j] + ox - pix;
+            const double dy = positions[3 * j + 1] + oy - piy;
+            const double dz = positions[3 * j + 2] + oz - piz;
+            const double d2 = dx * dx + dy * dy + dz * dz;
+            if (d2 < cutoff2) {
+              if (fill) {
+                if (count >= capacity) return -2;  // caller under-allocated
+                src[count] = i;
+                dst[count] = j;
+                shifts[3 * count] = sx;
+                shifts[3 * count + 1] = sy;
+                shifts[3 * count + 2] = sz;
+              }
+              ++count;
+            }
+          }
+        }
+      }
+    }
+  }
+  return count;
+}
+
+// Pack variable-length per-sample 2-D float arrays into one padded
+// batch-leading buffer [B, R, C] plus a row mask [B, R]. The collation
+// engine behind GraphBatch (data/graph.py collate) — PyG DataLoader's
+// C++-backed scatter-of-graphs, re-designed for fixed shapes.
+void dostpu_pack_f32(const float* const* srcs, const int64_t* rows,
+                     int64_t n_samples, int64_t r, int64_t c,
+                     float* out /* zeroed [B, R, C] */,
+                     float* mask /* zeroed [B, R] or nullptr */) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const int64_t nr = rows[s];
+    std::memcpy(out + s * r * c, srcs[s], sizeof(float) * nr * c);
+    if (mask != nullptr) {
+      for (int64_t k = 0; k < nr; ++k) mask[s * r + k] = 1.0f;
+    }
+  }
+}
+
+// Same for int32 (edge endpoint indices).
+void dostpu_pack_i32(const int32_t* const* srcs, const int64_t* rows,
+                     int64_t n_samples, int64_t r, int64_t c,
+                     int32_t* out /* zeroed [B, R, C] */) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    std::memcpy(out + s * r * c, srcs[s], sizeof(int32_t) * rows[s] * c);
+  }
+}
+
+int64_t dostpu_abi_version() { return 1; }
+
+}  // extern "C"

@@ -32,18 +32,24 @@ def per_sample_rmse(pred: jax.Array, y: jax.Array, eps: float = 0.0) -> jax.Arra
 
 def dos_loss(
     preds_global: jax.Array,
-    preds_system: jax.Array,
+    preds_system: jax.Array | None,
     y: jax.Array,
     graph_mask: jax.Array,
     beta: float = 1.0,
     clamp_targets: bool = True,
 ) -> tuple[jax.Array, dict]:
-    """loss = mean_b rmse_global + beta * mean_b rmse_system over real graphs."""
+    """loss = mean_b rmse_global + beta * mean_b rmse_system over real graphs.
+
+    preds_system=None covers the single-head baseline models (graphnetwork/mlp
+    families return one DOS tensor): loss = mean_b rmse only.
+    """
     if clamp_targets:
         y = clamp_negative(y)
     m = graph_mask.astype(y.dtype)
     denom = jnp.maximum(m.sum(), 1.0)
     rmse_g = (per_sample_rmse(preds_global, y) * m).sum() / denom
+    if preds_system is None:
+        return rmse_g, {"rmse_global": rmse_g, "rmse_system": rmse_g}
     rmse_s = (per_sample_rmse(preds_system, y) * m).sum() / denom
     loss = rmse_g + beta * rmse_s
     return loss, {"rmse_global": rmse_g, "rmse_system": rmse_s}

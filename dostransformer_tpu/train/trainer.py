@@ -68,6 +68,7 @@ class Trainer:
         self.clamp_targets = clamp_targets
         self.eval_clamp = eval_clamp
         self.mesh = mesh
+        self._donate = donate
         self._train_step = None
         self._eval_step = None
         self._build()
@@ -97,13 +98,24 @@ class Trainer:
         model, tx, beta = self.model, self.tx, self.beta
         clamp_targets, eval_clamp = self.clamp_targets, self.eval_clamp
 
+        def normalize_outputs(out):
+            """Model families differ in output arity (SURVEY.md §1 L3):
+            DOSTransformer -> (dos_global, node_emb, dos_system);
+            graphnetwork   -> (dos, node_emb); mlp -> dos."""
+            if not isinstance(out, tuple):
+                return out, None, None
+            if len(out) == 3:
+                return out
+            return out[0], out[1], None
+
         def loss_fn(params, batch: GraphBatch, rng):
             deterministic = getattr(model, "attn_drop", 0.0) == 0.0
             kwargs = {}
             if not deterministic:
                 kwargs["rngs"] = {"dropout": rng}
-            dg, _, ds = model.apply({"params": params}, batch,
-                                    deterministic=deterministic, **kwargs)
+            dg, _, ds = normalize_outputs(
+                model.apply({"params": params}, batch,
+                            deterministic=deterministic, **kwargs))
             return dos_loss(dg, ds, batch.y, batch.graph_mask, beta,
                             clamp_targets)
 
@@ -118,17 +130,20 @@ class Trainer:
             return new_state, {"loss": loss, **aux}
 
         def eval_step(params, batch: GraphBatch):
-            dg, x, ds = model.apply({"params": params}, batch,
-                                    deterministic=True)
-            m = eval_metrics(ds, batch.y, clamp=eval_clamp)
-            # graph embeddings export (utils.py:91): masked sum-pool of node
-            # embeddings per graph
-            emb = (x * batch.node_mask[..., None]).sum(axis=1)
-            m["embeddings"] = emb
+            dg, x, ds = normalize_outputs(
+                model.apply({"params": params}, batch, deterministic=True))
+            # metrics evaluate the system head where one exists (utils.py:117-143
+            # scores preds_system only); single-head models score their one DOS
+            m = eval_metrics(ds if ds is not None else dg, batch.y,
+                             clamp=eval_clamp)
+            if x is not None:
+                # graph embeddings export (utils.py:91): masked sum-pool of
+                # node embeddings per graph
+                m["embeddings"] = (x * batch.node_mask[..., None]).sum(axis=1)
             m["preds_global"] = dg
             return m
 
-        donate = (0,) if getattr(self, "_donate", True) else ()
+        donate = (0,) if self._donate else ()
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))

@@ -5,22 +5,47 @@ backend for distributed tests, SURVEY.md §4) and exact matmul precision so
 golden comparisons against the torch oracle are tight. Pallas kernels run in
 interpreter mode on CPU (they are additionally verified on real TPU by
 bench.py / the driver's compile checks).
+
+The ambient environment pre-imports jax via a sitecustomize hook (gated on
+PALLAS_AXON_POOL_IPS) and locks the tunneled-TPU backend before any test code
+runs — setting JAX_PLATFORMS afterwards is a no-op. The only reliable fix is
+to re-exec the interpreter with the gate removed and the CPU platform forced.
+The re-exec happens in pytest_configure with global capture suspended so the
+child's output reaches the real stdout.
 """
 
 import os
+import sys
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the tunneled
-# TPU); tests must run on the virtual 8-device CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ.setdefault("DOSTPU_PALLAS_INTERPRET", "1")
 
-import jax  # noqa: E402
+def _needs_reexec() -> bool:
+    if os.environ.get("DOSTPU_TEST_REEXEC") == "1":
+        return False
+    import jax  # already imported by sitecustomize when the gate is set
 
-jax.config.update("jax_default_matmul_precision", "highest")
+    return jax.default_backend() != "cpu" or len(jax.devices()) < 8
 
-import sys  # noqa: E402
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        os.environ.setdefault("DOSTPU_PALLAS_INTERPRET", "1")
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the sitecustomize TPU hook
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DOSTPU_PALLAS_INTERPRET"] = "1"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["DOSTPU_TEST_REEXEC"] = "1"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest", *config.invocation_params.args],
+              env)
+
 
 sys.path.insert(0, os.path.dirname(__file__))

@@ -1,0 +1,66 @@
+"""End-to-end CLI tests (integration strategy of SURVEY.md §4): tiny
+synthetic train runs through the real entry points, results-file +
+eval-artifact writers, checkpoint resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dostransformer_tpu.cli import main_edos, main_phdos
+
+
+def _common_flags(tmp, extra=()):
+    return ["--synthetic", "24", "--epochs", "2", "--eval", "1",
+            "--hidden", "32", "--layers", "2", "--transformer", "1",
+            "--batch_size", "4", "--results_dir", str(tmp), *extra]
+
+
+class TestCLI:
+    def test_phdos_end_to_end(self, tmp_path):
+        result = main_phdos.main(_common_flags(tmp_path))
+        assert result["test"] is not None
+        assert np.isfinite(result["test"]["rmse"])
+        # experiments_{embedder}.txt written in the reference's format
+        txt = tmp_path / "experiments_DOSTransformer.txt"
+        assert txt.exists()
+        content = txt.read_text()
+        assert "test rmse" in content and "embedder(DOSTransformer)" in content
+
+    def test_edos_with_artifact_export(self, tmp_path):
+        preds = tmp_path / "preds.npz"
+        result = main_edos.main(_common_flags(
+            tmp_path, ["--export_preds", str(preds)]))
+        assert result["test"] is not None
+        z = np.load(preds, allow_pickle=False)
+        n_test = z["sample_id"].shape[0]
+        assert n_test > 0
+        assert z["preds"].shape == (n_test, 201)
+        assert z["y"].shape == (n_test, 201)
+        assert z["embeddings"].shape == (n_test, 32)
+        assert z["mp_id"].shape == (n_test,)
+        # eDOS eval clamps targets and predictions at 0 (utils.py:74-76)
+        assert (z["preds"] >= 0).all() and (z["y"] >= 0).all()
+
+    def test_baseline_embedder_selection(self, tmp_path):
+        result = main_phdos.main(_common_flags(
+            tmp_path, ["--embedder", "GraphNetwork"]))  # case-insensitive
+        assert np.isfinite(result["test"]["rmse"])
+        assert (tmp_path / "experiments_GraphNetwork.txt").exists()
+
+    def test_bad_embedder_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="Inappropriate model name"):
+            main_phdos.main(_common_flags(tmp_path, ["--embedder", "nope"]))
+
+
+class TestCheckpointResume:
+    def test_resume_restores_state(self, tmp_path):
+        ck = tmp_path / "ckpt"
+        flags = _common_flags(tmp_path, ["--checkpoint_dir", str(ck),
+                                         "--checkpoint_every", "1"])
+        main_phdos.main(flags)
+        assert os.path.isdir(ck)
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(ck))
+        assert mgr.latest_epoch() == 2

@@ -1,0 +1,222 @@
+"""Data-layer tests: periodic neighbor search, featurizers, io, loader, splits
+(SURVEY.md §4 unit strategy)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dostransformer_tpu.data.datasets import (
+    GraphLoader,
+    edos_random_split,
+    element_balanced_split,
+)
+from dostransformer_tpu.data.elements import (
+    ATOMIC_MASSES,
+    SYMBOL_TO_Z,
+    atomic_mass_features,
+)
+from dostransformer_tpu.data.featurize_edos import (
+    build_sample as build_edos,
+    gaussian_expand,
+    standardize_columns,
+)
+from dostransformer_tpu.data.featurize_phdos import build_sample as build_phdos
+from dostransformer_tpu.data.graph import collate
+from dostransformer_tpu.data.io import load_samples, save_samples
+from dostransformer_tpu.data.neighbors import (
+    get_all_neighbors,
+    knn_edges,
+    neighbor_list_pbc,
+)
+from dostransformer_tpu.data.synthetic import (
+    synthetic_edos_samples,
+    synthetic_phdos_samples,
+)
+
+
+class TestNeighborList:
+    def test_simple_cubic_counts(self):
+        # one atom in a cubic cell a=2: neighbors within r<2.1 are the 6 face
+        # images (d=2) + the self pair at d=0
+        cell = np.eye(3) * 2.0
+        pos = np.zeros((1, 3))
+        src, dst, shift = neighbor_list_pbc(pos, cell, 2.1)
+        assert len(src) == 7
+        d = np.linalg.norm(pos[dst] + shift @ cell - pos[src], axis=1)
+        assert (np.sort(d) == pytest.approx([0, 2, 2, 2, 2, 2, 2])) is not False
+
+    def test_self_interaction_flag(self):
+        cell = np.eye(3) * 2.0
+        pos = np.zeros((1, 3))
+        src, dst, shift = neighbor_list_pbc(pos, cell, 2.1,
+                                            self_interaction=False)
+        assert len(src) == 6  # self pair at S=0 dropped, images kept
+
+    def test_brute_force_differential(self):
+        rng = np.random.RandomState(0)
+        cell = np.eye(3) * 4.0 + rng.randn(3, 3) * 0.3
+        frac = rng.rand(5, 3)
+        pos = frac @ cell
+        cutoff = 3.0
+        src, dst, shift = neighbor_list_pbc(pos, cell, cutoff)
+        got = {(int(i), int(j), tuple(map(int, s)))
+               for i, j, s in zip(src, dst, shift)}
+        # brute force over a generous shift range
+        want = set()
+        for i in range(5):
+            for j in range(5):
+                for sx in range(-3, 4):
+                    for sy in range(-3, 4):
+                        for sz in range(-3, 4):
+                            v = pos[j] + np.array([sx, sy, sz]) @ cell - pos[i]
+                            if np.linalg.norm(v) < cutoff:
+                                want.add((i, j, (sx, sy, sz)))
+        assert got == want
+
+    def test_knn_padding_semantics(self):
+        # isolated atoms in a huge cell: fewer than 12 neighbors -> pad with
+        # index 0 and distance radius+1 (mat2graph.py:216-232)
+        cell = np.eye(3) * 100.0
+        pos = np.array([[0.0, 0, 0], [1.5, 0, 0], [0, 2.0, 0]])
+        edge_index, dist = knn_edges(pos, cell, radius=8.0, max_num_nbr=12)
+        assert edge_index.shape == (2, 36)
+        d0 = dist[:12]  # atom 0's slots
+        assert d0[0] == pytest.approx(1.5)    # nearest first (sorted)
+        assert d0[1] == pytest.approx(2.0)
+        assert np.all(d0[2:] == 9.0)          # radius + 1 padding
+        assert np.all(edge_index[1, 2:12] == 0)  # pad neighbor index 0
+
+    def test_get_all_neighbors_excludes_self(self):
+        cell = np.eye(3) * 100.0
+        pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+        nbrs = get_all_neighbors(pos, cell, 8.0)
+        assert [sorted(n) for n in nbrs] == [[(1.0, 1)], [(1.0, 0)]]
+
+
+class TestFeaturizers:
+    def test_gaussian_expand_dims(self):
+        out = gaussian_expand(np.array([0.0, 9.0]))
+        assert out.shape == (2, 41)
+
+    def test_standardize_columns_sklearn_semantics(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(10, 4) * 3 + 1
+        z = standardize_columns(x)
+        np.testing.assert_allclose(z.mean(0), 0, atol=1e-12)
+        np.testing.assert_allclose(z.std(0), 1, atol=1e-12)  # ddof=0
+
+    def test_edos_sample_structure(self):
+        rng = np.random.RandomState(1)
+        elem_feats = rng.randn(100, 200)
+        numbers = np.array([1, 8, 8])
+        coords = np.array([[0.0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]])
+        s = build_edos(elem_feats, numbers, coords, np.eye(3) * 50.0,
+                       y=np.abs(rng.randn(201)), y_ft=np.abs(rng.randn(201)),
+                       glob=[0.1, -0.2], crystal_system="cubic")
+        assert s.x.shape == (4, 200)                # 3 atoms + prompt node
+        np.testing.assert_array_equal(s.x[3], 0.0)  # zero prompt row
+        assert s.edge_index.shape == (2, 36)
+        assert s.edge_attr.shape == (36, 41)
+        assert s.system == 0
+        assert s.y.max() == pytest.approx(1.0)      # normalized target
+
+    def test_phdos_sample_edge_vec(self):
+        numbers = np.array([14, 14])
+        cell = np.eye(3) * 3.0
+        pos = np.array([[0.0, 0, 0], [1.5, 0, 0]])
+        s = build_phdos(numbers, pos, cell, phdos=np.ones(51),
+                        crystal_system="Hexagonal")
+        assert s.system == 1
+        assert s.x.shape == (2, 118)
+        # mass one-hot: row Z-1 holds the atomic mass
+        assert s.x[0, 13] == pytest.approx(ATOMIC_MASSES[13], rel=1e-6)
+        # check edge vectors against the definition (utils.py:271-273)
+        vec = (pos[s.edge_index[1]] + s.edge_shift.astype(np.float64) @ cell
+               - pos[s.edge_index[0]])
+        np.testing.assert_allclose(s.edge_vec, vec, atol=1e-5)
+        # self-loops present (self_interaction=True)
+        self_loops = (s.edge_index[0] == s.edge_index[1]) & (
+            np.linalg.norm(s.edge_vec, axis=1) < 1e-9)
+        assert self_loops.sum() == 2
+
+    def test_symbol_table(self):
+        assert SYMBOL_TO_Z["H"] == 1 and SYMBOL_TO_Z["Og"] == 118
+        f = atomic_mass_features(np.array([1]))
+        assert f[0, 0] == pytest.approx(1.008)
+        assert f[0, 1:].sum() == 0
+
+
+class TestIO:
+    @pytest.mark.parametrize("kind", ["edos", "phdos"])
+    def test_roundtrip(self, kind):
+        gen = synthetic_edos_samples if kind == "edos" else synthetic_phdos_samples
+        samples = gen(3, seed=5)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "x.npz")
+            save_samples(path, samples)
+            loaded = load_samples(path)
+        assert len(loaded) == 3
+        for a, b in zip(samples, loaded):
+            np.testing.assert_array_equal(a.x, b.x)
+            np.testing.assert_array_equal(a.edge_index, b.edge_index)
+            np.testing.assert_array_equal(a.y, b.y)
+            assert a.system == b.system and a.mp_id == b.mp_id
+            if a.edge_vec is not None:
+                np.testing.assert_array_equal(a.edge_vec, b.edge_vec)
+            if a.glob is not None:
+                np.testing.assert_array_equal(a.glob, b.glob)
+
+
+class TestSplitsAndLoader:
+    def test_random_split_proportions_and_disjoint(self):
+        samples = synthetic_edos_samples(50, seed=0)
+        tr, va, te = edos_random_split(samples, random_state=0)
+        assert len(tr) == 40 and len(va) == 5 and len(te) == 5
+        ids = [s.sample_id for s in tr + va + te]
+        assert sorted(ids) == list(range(50))
+
+    def test_random_split_matches_sklearn_exactly(self):
+        from sklearn.model_selection import train_test_split as skl
+
+        items = list(range(30))
+        a, b = skl(items, test_size=0.2, random_state=7)
+        from dostransformer_tpu.data.datasets import train_test_split
+
+        a2, b2 = train_test_split(items, test_size=0.2, random_state=7)
+        assert a == a2 and b == b2
+
+    def test_element_balanced_split_partition(self):
+        rng = np.random.RandomState(3)
+        elements = ["H", "O", "Si", "Fe", "Al"]
+        species = [sorted(rng.choice(elements,
+                                     size=rng.randint(1, 4), replace=False))
+                   for _ in range(40)]
+        tr, va, te = element_balanced_split(species, 0.1, 0.1, seed=12)
+        assert sorted(tr + va + te) == list(range(40))
+        assert len(set(tr) & set(va)) == 0
+        assert len(set(va) & set(te)) == 0
+
+    def test_loader_short_final_batch(self):
+        samples = synthetic_edos_samples(10, seed=2)
+        loader = GraphLoader(samples, batch_size=4)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert [float(b.graph_mask.sum()) for b in batches] == [4, 4, 2]
+        # fixed shapes across batches
+        shapes = {b.nodes.shape for b in batches}
+        assert len(shapes) == 1
+
+    def test_loader_shuffle_determinism(self):
+        samples = synthetic_edos_samples(16, seed=2)
+        l1 = GraphLoader(samples, batch_size=4, shuffle=True, seed=9)
+        l2 = GraphLoader(samples, batch_size=4, shuffle=True, seed=9)
+        ids1 = [b.sample_id.tolist() for b in l1]
+        ids2 = [b.sample_id.tolist() for b in l2]
+        assert ids1 == ids2
+
+    def test_collate_rejects_undersized_pins(self):
+        samples = synthetic_edos_samples(2, seed=0)
+        with pytest.raises(AssertionError):
+            collate(samples, atoms_per_graph=1)

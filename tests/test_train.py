@@ -1,0 +1,200 @@
+"""Training-subsystem tests: loss/metric reference semantics, the early-stop
+state machine, trainer integration (loss decreases), and distributed
+equivalence on the virtual 8-device mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dostransformer_tpu.data import synthetic_edos_samples, synthetic_phdos_samples
+from dostransformer_tpu.data.datasets import GraphLoader
+from dostransformer_tpu.models import DOSTransformerEDOS
+from dostransformer_tpu.models.registry import build_model
+from dostransformer_tpu.parallel.mesh import make_mesh
+from dostransformer_tpu.train.early_stop import BestTracker
+from dostransformer_tpu.train.loss import clamp_negative, dos_loss, per_sample_rmse
+from dostransformer_tpu.train.metrics import (
+    MetricAccumulator,
+    eval_metrics,
+    r2_variance_weighted,
+)
+from dostransformer_tpu.train.trainer import Trainer
+
+
+class TestLoss:
+    def test_reference_formula(self):
+        # loss = mean_b sqrt(mean_e (y-g)^2) + beta * mean_b sqrt(mean_e (y-s)^2)
+        rng = np.random.RandomState(0)
+        y = rng.randn(4, 7).astype(np.float32)
+        g = rng.randn(4, 7).astype(np.float32)
+        s = rng.randn(4, 7).astype(np.float32)
+        yc = np.where(y < 0, 0, y)
+        want = (np.sqrt(((yc - g) ** 2).mean(1)).mean()
+                + 2.5 * np.sqrt(((yc - s) ** 2).mean(1)).mean())
+        got, aux = dos_loss(jnp.array(g), jnp.array(s), jnp.array(y),
+                            jnp.ones(4), beta=2.5, clamp_targets=True)
+        np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+    def test_dummy_graphs_excluded(self):
+        y = jnp.ones((3, 5))
+        g = jnp.zeros((3, 5))
+        mask = jnp.array([1.0, 1.0, 0.0])
+        loss, _ = dos_loss(g, None, y, mask, clamp_targets=False)
+        np.testing.assert_allclose(float(loss), 1.0, rtol=1e-6)
+
+    def test_single_head(self):
+        y = jnp.zeros((2, 3))
+        g = jnp.ones((2, 3)) * 2.0
+        loss, aux = dos_loss(g, None, y, jnp.ones(2), beta=1.0,
+                             clamp_targets=False)
+        np.testing.assert_allclose(float(loss), 2.0, rtol=1e-6)
+
+    def test_clamp(self):
+        np.testing.assert_array_equal(
+            np.asarray(clamp_negative(jnp.array([-1.0, 0.0, 2.0]))),
+            [0.0, 0.0, 2.0])
+
+
+class TestMetrics:
+    def test_r2_matches_sklearn(self):
+        from sklearn.metrics import r2_score
+
+        rng = np.random.RandomState(1)
+        y, p = rng.randn(201), rng.randn(201)
+        want = r2_score(y.flatten(), p.flatten(),
+                        multioutput="variance_weighted")
+        assert r2_variance_weighted(y, p) == pytest.approx(want, rel=1e-9)
+
+    def test_eval_clamp_asymmetry(self):
+        # eDOS test() clamps y AND preds (utils.py:74-76); phDOS doesn't
+        y = jnp.array([[-1.0, 1.0]])
+        p = jnp.array([[-2.0, 1.0]])
+        m_edos = eval_metrics(p, y, clamp=True)
+        m_ph = eval_metrics(p, y, clamp=False)
+        assert float(m_edos["rmse"]) == pytest.approx(0.0)
+        assert float(m_ph["rmse"]) == pytest.approx(np.sqrt(0.5))
+
+    def test_accumulator_running_mean(self):
+        acc = MetricAccumulator()
+        for v in (1.0, 3.0):
+            acc.update({"rmse": v, "mse": v, "mae": v,
+                        "y": np.array([1.0, 2.0]), "preds": np.array([1.0, 2.0])})
+        r = acc.result()
+        assert r["rmse"] == pytest.approx(2.0)
+        assert r["r2"] == pytest.approx(1.0)
+
+
+class TestEarlyStop:
+    def test_three_branches(self):
+        t = BestTracker(es=50, eval_every=5)
+        assert t.update(1, 0.5, 0.5)          # both improve
+        assert t.update(2, 0.4, 0.6)          # rmse improves only
+        assert t.best_rmse == 0.4 and t.best_mae == 0.5
+        assert t.update(3, 0.45, 0.4)         # mae improves only
+        assert t.best_rmse == 0.4 and t.best_mae == 0.4
+        assert not t.update(4, 0.5, 0.5)      # neither
+
+    def test_plateau_stop(self):
+        # es=50, eval=5: stop once best_rmse unchanged across 10 evals
+        t = BestTracker(es=50, eval_every=5)
+        t.update(1, 0.3, 0.3)
+        stops = [t.step_and_should_stop() for _ in range(11)]
+        assert not any(stops[:10])
+        assert stops[10]
+
+    def test_improvement_resets_plateau(self):
+        # es=10, eval=5 -> stop when best_losses[-1] == best_losses[-es//5=-2]
+        # once len > es/eval = 2 (reference main_eDOS.py:159-163)
+        t = BestTracker(es=10, eval_every=5)
+        t.update(1, 0.5, 0.5)
+        assert not t.step_and_should_stop()   # [0.5]: len <= 2
+        t.update(2, 0.4, 0.4)
+        assert not t.step_and_should_stop()   # [0.5, 0.4]: len <= 2
+        t.update(3, 0.3, 0.3)
+        assert not t.step_and_should_stop()   # [0.5, 0.4, 0.3]: -1 != -2
+        assert t.step_and_should_stop()       # [0.5, 0.4, 0.3, 0.3]
+
+
+@pytest.fixture(scope="module")
+def tiny_edos():
+    samples = synthetic_edos_samples(16, seed=0)
+    loader = GraphLoader(samples, batch_size=8, shuffle=True, seed=0)
+    return samples, loader
+
+
+class TestTrainerIntegration:
+    def test_loss_decreases(self, tiny_edos):
+        _, loader = tiny_edos
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model)
+        state = tr.init_state(next(iter(loader)))
+        first = last = None
+        for epoch in range(5):
+            for batch in loader:
+                state, m = tr.train_step(state, batch)
+                if first is None:
+                    first = float(m["loss"])
+                last = float(m["loss"])
+        assert last < first
+
+    def test_baseline_families_train(self, tiny_edos):
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        for name in ("graphnetwork", "graphnetwork2", "mlp", "mlp2"):
+            model = build_model("edos", name, layers=2, hidden=32)
+            tr = Trainer(model)
+            state = tr.init_state(batch)
+            state, m = tr.train_step(state, batch)
+            assert np.isfinite(float(m["loss"])), name
+            em = tr.eval_step(state.params, batch)
+            assert np.isfinite(float(em["rmse"])), name
+
+    def test_phdos_baselines_train(self):
+        samples = synthetic_phdos_samples(8, seed=1)
+        loader = GraphLoader(samples, batch_size=4)
+        batch = next(iter(loader))
+        for name in ("graphnetwork", "graphnetwork2", "mlp", "mlp2"):
+            model = build_model("phdos", name, layers=2, hidden=32)
+            tr = Trainer(model, clamp_targets=False, eval_clamp=False)
+            state = tr.init_state(batch)
+            state, m = tr.train_step(state, batch)
+            assert np.isfinite(float(m["loss"])), name
+
+
+class TestDistributed:
+    """The TPU-native fake-backend analogue (SURVEY.md §4): the same train
+    step on 1 device and on the 8-device mesh must agree."""
+
+    def test_dp_matches_single_device(self, tiny_edos):
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+
+        tr1 = Trainer(model, donate=False)
+        s1 = tr1.init_state(batch, seed=0)
+
+        mesh = make_mesh(axes=("data",))
+        assert mesh.devices.size == 8
+        tr8 = Trainer(model, mesh=mesh, donate=False)
+        s8 = tr8.init_state(batch, seed=0)
+
+        losses1, losses8 = [], []
+        for _ in range(3):
+            s1, m1 = tr1.train_step(s1, batch)
+            s8, m8 = tr8.train_step(s8, batch)
+            losses1.append(float(m1["loss"]))
+            losses8.append(float(m8["loss"]))
+        np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+
+    def test_batch_leaves_sharded(self, tiny_edos):
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        mesh = make_mesh(axes=("data",))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+        tr = Trainer(model, mesh=mesh)
+        sharded = tr.shard_batch(batch)
+        spec = sharded.nodes.sharding.spec
+        assert spec == jax.sharding.PartitionSpec("data")
