@@ -29,8 +29,8 @@ HIDDEN = 256
 LAYERS = 3
 T_LAYERS = 2
 N_SAMPLES = 64
-WARMUP = 3
-STEPS = 30
+WARMUP = 2
+STEPS = 120
 
 
 def _samples():
@@ -73,15 +73,26 @@ def measure_jax() -> float:
     trainer = Trainer(model)
     state = trainer.init_state(batches[0], seed=0)
 
-    for i in range(WARMUP):
-        state, m = trainer.train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
+    # scan-compiled epoch: one dispatch for STEPS steps; the tunneled-TPU
+    # backend has noisy dispatch latency, so take the median of several reps
+    from dostransformer_tpu.train.trainer import stack_batches
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, m = trainer.train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    stacked = stack_batches([batches[i % len(batches)] for i in range(STEPS)])
+    import numpy as np
+
+    for _ in range(WARMUP):
+        state, losses = trainer.train_epoch(state, stacked)
+        np.asarray(losses)  # value fetch: the only reliable completion
+                            # barrier through the tunneled TPU backend
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, losses = trainer.train_epoch(state, stacked)
+        np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     return STEPS * BATCH / dt
 
 

@@ -69,6 +69,12 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                         "(the reference's preds_y structure, utils.py:93-109)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace output directory")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax debug_nans (the runtime-sanitizer mode; "
+                        "SPMD is race-free by construction, SURVEY.md §5)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (params stay float32; norms/softmax f32)")
     return p
 
 
@@ -79,7 +85,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         eval_every=args.eval, es=args.es, embedder=args.embedder,
         hidden=args.hidden, random_state=args.random_state,
         dataset=args.dataset, attn_drop=args.attn_drop, seed=args.seed,
-        beta=args.beta, padding=args.padding,
+        beta=args.beta, padding=args.padding, dtype=args.dtype,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, log_jsonl=args.log_jsonl,
     )
@@ -96,12 +102,15 @@ def run_training(
     results_dir: str = ".",
     export_preds: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    debug_nans: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, dtype=cfg.dtype)
     mesh = make_mesh(axes=("data",)) if data_parallel else None
     is_edos = task == "edos"
     trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
@@ -110,9 +119,13 @@ def run_training(
 
     loader = GraphLoader(train, batch_size=cfg.batch_size, shuffle=True,
                          seed=cfg.seed)
+    # eval at batch 1 like the reference (main_eDOS.py:55-56) — except under
+    # data parallelism, where batches must be divisible by the mesh; metrics
+    # are per-sample masked, so any eval batch size gives identical results
+    eval_bs = mesh.devices.size if mesh is not None else 1
     # pin eval shapes to the training buckets: one compiled shape per split
     mk_eval = lambda ss: GraphLoader(
-        ss, batch_size=1,
+        ss, batch_size=eval_bs,
         atoms_per_graph=max(loader.atoms_per_graph,
                             *(s.n_nodes for s in list(valid) + list(test))),
         edges_per_graph=max(loader.edges_per_graph,
@@ -148,12 +161,12 @@ def run_training(
     n_steps = 0
     stopped_early = False
     for epoch in range(cfg.epochs):
-        losses = []
-        for batch in loader:
-            state, m = trainer.train_step(state, batch)
-            losses.append(m["loss"])
-            n_steps += 1
-        mean_loss = float(np.mean([float(l) for l in losses]))
+        # scan-compiled epoch: one dispatch for the whole epoch (fixed batch
+        # shapes make this possible — the TPU-idiomatic hot loop)
+        batches = list(loader)
+        state, losses = trainer.train_epoch(state, batches)
+        n_steps += len(batches)
+        mean_loss = float(losses.mean())
         sys.stdout.write(
             f"\r[ epoch {epoch + 1}/{cfg.epochs} ] loss {mean_loss:.4f} ")
         sys.stdout.flush()

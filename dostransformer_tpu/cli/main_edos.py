@@ -56,7 +56,8 @@ def main(argv=None):
                           data_parallel=args.data_parallel,
                           results_dir=args.results_dir,
                           export_preds=args.export_preds,
-                          profile_dir=args.profile_dir)
+                          profile_dir=args.profile_dir,
+                          debug_nans=args.debug_nans)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

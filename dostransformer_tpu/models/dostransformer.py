@@ -51,6 +51,17 @@ class _DOSTransformerBase(fnn.Module):
     padding: str = "mask"            # "mask" | "ref" (see GraphBatch docstring)
     use_pallas: Optional[bool] = None
     aggregation: str = "sum"         # eDOS scatter_sum; phDOS scatter_mean
+    dtype: str = "float32"           # compute dtype: float32 | bfloat16
+                                     # (params stay f32; norms/softmax run f32)
+
+    @property
+    def _cdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    def _cast(self, *xs):
+        out = tuple(x.astype(self._cdtype) if x is not None else None
+                    for x in xs)
+        return out if len(out) > 1 else out[0]
 
     def _build_transformers(self):
         mk = lambda name: TransformerEncoder(
@@ -60,11 +71,12 @@ class _DOSTransformerBase(fnn.Module):
 
     def _energy_tokens(self, b: int):
         table = self.param("embeddings", embedding_init, (self.n_bins, self.hidden))
+        table = table.astype(self._cdtype)
         return jnp.broadcast_to(table[None], (b, self.n_bins, self.hidden))
 
     def _prompt_tokens(self, system: jax.Array):
         table = self.param("prompt_token", embedding_init, (7, self.hidden // 2))
-        return table[system]  # [B, h/2]
+        return table.astype(self._cdtype)[system]  # [B, h/2]
 
     def _message_passing(self, g: GraphBatch, x, edge_attr, deterministic):
         for i in range(self.layers):
@@ -85,7 +97,7 @@ class _DOSTransformerBase(fnn.Module):
         dos_in = jax.nn.leaky_relu(fc(jnp.concatenate([energies, graph], axis=-1)))
         dos_global = tr_self(dos_in, dos_in, dos_in, None, deterministic)
         dos_global = tr_source(dos_global, x_dense, x_dense, key_mask, deterministic)
-        dos_global = out_layer(dos_global)[..., 0]  # [B, bins]
+        dos_global = out_layer(dos_global)[..., 0].astype(jnp.float32)  # [B, bins]
 
         prompt = self._prompt_tokens(g.system)
         prompt = jnp.broadcast_to(prompt[:, None, :],
@@ -96,7 +108,7 @@ class _DOSTransformerBase(fnn.Module):
         # reused — weights shared between heads (DOSTransformer.py:85-89)
         dos_system = tr_self(dos_in, dos_in, dos_in, None, deterministic)
         dos_system = tr_source(dos_system, x_dense, x_dense, key_mask, deterministic)
-        dos_system = out_layer(dos_system)[..., 0]
+        dos_system = out_layer(dos_system)[..., 0].astype(jnp.float32)
         return dos_global, dos_system
 
     def _key_mask(self, g: GraphBatch):
@@ -123,8 +135,9 @@ class DOSTransformerEDOS(_DOSTransformerBase):
         tr_cross, tr_self, tr_source = self._build_transformers()
 
         energies = self._energy_tokens(b)
+        nodes, edges_in, glob = self._cast(g.nodes, g.edges, g.glob)
         x, edge_attr, u = GraphEncoderEDOS(self.hidden, name="GN_encoder")(
-            g.nodes, g.edges, g.glob)
+            nodes, edges_in, glob)
         x, edge_attr = self._message_passing(g, x, edge_attr, deterministic)
 
         x_dense = self._dense(g, x)          # [B, A, h]; replaces to_dense_batch
@@ -138,7 +151,7 @@ class DOSTransformerEDOS(_DOSTransformerBase):
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,
             deterministic)
-        return dos_global, x, dos_system
+        return dos_global, x.astype(jnp.float32), dos_system
 
 
 class DOSTransformerPhDOS(_DOSTransformerBase):
@@ -158,9 +171,11 @@ class DOSTransformerPhDOS(_DOSTransformerBase):
         tr_cross, tr_self, tr_source = self._build_transformers()
 
         energies = self._energy_tokens(b)
+        # geometry in f32 (cutoff/SH are cheap VPU ops), then cast
         edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
+        nodes, edge_attr = self._cast(g.nodes, edge_attr)
         x, edge_attr = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(
-            g.nodes, edge_attr)
+            nodes, edge_attr)
         x, edge_attr = self._message_passing(g, x, edge_attr, deterministic)
 
         x_dense = self._dense(g, x)
@@ -174,4 +189,4 @@ class DOSTransformerPhDOS(_DOSTransformerBase):
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,
             deterministic)
-        return dos_global, x, dos_system
+        return dos_global, x.astype(jnp.float32), dos_system

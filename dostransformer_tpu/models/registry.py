@@ -53,6 +53,7 @@ def build_model(
     attn_drop: float = 0.0,
     padding: str = "mask",
     use_pallas: Optional[bool] = None,
+    dtype: str = "float32",
 ):
     """Instantiate a model by (task, embedder) name.
 
@@ -73,4 +74,6 @@ def build_model(
         kwargs["attn_drop"] = attn_drop
         kwargs["padding"] = padding
         kwargs["use_pallas"] = use_pallas
+    if "dtype" in cls.__dataclass_fields__:
+        kwargs["dtype"] = dtype
     return cls(**kwargs)

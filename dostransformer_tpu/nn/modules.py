@@ -40,7 +40,10 @@ LN_EPS = 1e-5  # torch nn.LayerNorm default
 
 
 class TorchLinear(fnn.Module):
-    """nn.Linear with torch default initialization."""
+    """nn.Linear with torch default initialization.
+
+    Mixed precision: params are stored float32 and cast to the operand dtype —
+    feeding bfloat16 activations runs the matmul natively on the MXU."""
 
     features: int
     use_bias: bool = True
@@ -50,10 +53,10 @@ class TorchLinear(fnn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
-        y = x @ kernel
+        y = x @ kernel.astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -84,7 +87,9 @@ class MLP2(fnn.Module):
 
 class MLPBlock(fnn.Module):
     """Linear(in->mid) -> LayerNorm -> PReLU -> Linear(mid->out): the
-    EdgeModel/NodeModel MLP shape (DOSTransformer.py:171,182)."""
+    EdgeModel/NodeModel MLP shape (DOSTransformer.py:171,182).
+    LayerNorm statistics run in float32 regardless of operand dtype (standard
+    TPU mixed-precision policy: matmuls bf16, norms f32)."""
 
     mid: int
     out: int
@@ -92,7 +97,8 @@ class MLPBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x):
         x = TorchLinear(self.mid, name="lin0")(x)
-        x = fnn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+        x = fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                          name="ln")(x).astype(x.dtype)
         x = PReLU(name="prelu")(x)
         x = TorchLinear(self.out, name="lin1")(x)
         return x

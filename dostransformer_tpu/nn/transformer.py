@@ -47,7 +47,7 @@ class XavierLinear(fnn.Module):
     def __call__(self, x):
         kernel = self.param("kernel", xavier_uniform_init, (x.shape[-1], self.features))
         bias = self.param("bias", _zeros_bias, (self.features,))
-        return x @ kernel + bias
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class TransformerEncoderLayer(fnn.Module):
@@ -82,7 +82,8 @@ class TransformerEncoderLayer(fnn.Module):
         x = residual + a
 
         residual = x
-        h = fnn.LayerNorm(epsilon=LN_EPS, name="ln1")(x)
+        h = fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                          name="ln1")(x).astype(x.dtype)
         h = jax.nn.relu(XavierLinear(4 * self.embed_dim, name="fc1")(h))
         h = fnn.Dropout(self.relu_dropout, name="relu_drop")(h, deterministic=deterministic)
         h = XavierLinear(self.embed_dim, name="fc2")(h)
@@ -97,7 +98,8 @@ class _SharedLN(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        return fnn.LayerNorm(epsilon=self.epsilon, name="ln")(x)
+        return fnn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+                             name="ln")(x).astype(x.dtype)
 
 
 class TransformerEncoder(fnn.Module):
@@ -133,4 +135,5 @@ class TransformerEncoder(fnn.Module):
                 name=f"layer{i}",
             )(x, x_k, x_v, key_mask, deterministic)
 
-        return fnn.LayerNorm(epsilon=LN_EPS, name="final_ln")(x)
+        return fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+                             name="final_ln")(x).astype(x.dtype)

@@ -48,14 +48,18 @@ def dot_product_attention(
     """
     d = q.shape[-1]
     scale = d ** -0.5
-    scores = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    # f32 accumulation regardless of operand dtype (bf16 operands still ride
+    # the MXU natively; only the accumulator is widened)
+    scores = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, :], scores, NEG_INF)
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bqk,bkd->bqd", weights, v)
+    return jnp.einsum("bqk,bkd->bqd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

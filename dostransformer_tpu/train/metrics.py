@@ -33,8 +33,15 @@ def eval_metrics(
     preds_system: jax.Array,
     y: jax.Array,
     clamp: bool = True,
+    graph_mask: jax.Array | None = None,
 ) -> dict:
-    """One eval batch's metric contributions (device part; r2 finishes on host).
+    """One eval batch's PER-SAMPLE metric contributions (device part; r2 and
+    the masked averaging finish on the host in MetricAccumulator).
+
+    The reference evaluates at batch_size=1 and averages per sample
+    (utils.py:61-143); returning per-sample values keeps those exact
+    semantics at any eval batch size (needed for sharded eval under data
+    parallelism, where batches must be divisible by the mesh).
 
     clamp=True  -> eDOS `test` semantics (clamp y and preds, utils.py:74-76)
     clamp=False -> phDOS `test_phonon` semantics (no clamping)
@@ -42,32 +49,43 @@ def eval_metrics(
     if clamp:
         y = jnp.where(y < 0, 0.0, y)
         preds_system = jnp.where(preds_system < 0, 0.0, preds_system)
-    mse = jnp.mean((y - preds_system) ** 2, axis=-1)  # per-sample
+    mse = jnp.mean((y - preds_system) ** 2, axis=-1)   # [B]
     rmse = jnp.sqrt(mse)
-    mae = jnp.mean(jnp.abs(preds_system - y))         # L1Loss over full tensor
+    mae = jnp.mean(jnp.abs(preds_system - y), axis=-1)  # L1 over bins, [B]
+    if graph_mask is None:
+        graph_mask = jnp.ones(y.shape[0], y.dtype)
     return {
-        "mse": mse.mean(),
-        "rmse": rmse.mean(),
+        "mse": mse,
+        "rmse": rmse,
         "mae": mae,
+        "mask": graph_mask,
         "preds": preds_system,
         "y": y,
     }
 
 
 class MetricAccumulator:
-    """Running means over eval batches (utils.py:68-112: loss_x / (bc+1))."""
+    """Per-sample running means over eval batches — identical to the
+    reference's batch-1 running means (utils.py:68-112: loss_x / (bc+1)),
+    generalized to any batch size via the graph mask."""
 
     def __init__(self):
         self.n = 0
         self.sums = {"rmse": 0.0, "mse": 0.0, "mae": 0.0, "r2": 0.0}
 
     def update(self, m: dict):
-        self.n += 1
-        self.sums["rmse"] += float(m["rmse"])
-        self.sums["mse"] += float(m["mse"])
-        self.sums["mae"] += float(m["mae"])
-        self.sums["r2"] += r2_variance_weighted(np.asarray(m["y"]),
-                                                np.asarray(m["preds"]))
+        mask = np.asarray(m["mask"]) > 0.5
+        n_real = int(mask.sum())
+        if n_real == 0:
+            return
+        self.n += n_real
+        for k in ("rmse", "mse", "mae"):
+            self.sums[k] += float(np.asarray(m[k])[mask].sum())
+        ys = np.asarray(m["y"])[mask]
+        ps = np.asarray(m["preds"])[mask]
+        # reference computes r2 per sample (flattened [1, bins]) and averages
+        self.sums["r2"] += sum(r2_variance_weighted(yy, pp)
+                               for yy, pp in zip(ys, ps))
 
     def result(self) -> dict:
         n = max(self.n, 1)

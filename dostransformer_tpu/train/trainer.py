@@ -30,6 +30,12 @@ from dostransformer_tpu.train.loss import dos_loss
 from dostransformer_tpu.train.metrics import eval_metrics
 
 
+def stack_batches(batches) -> GraphBatch:
+    """Stack same-shape GraphBatches into one [S, B, ...] pytree for
+    scan-based epochs."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -135,7 +141,7 @@ class Trainer:
             # metrics evaluate the system head where one exists (utils.py:117-143
             # scores preds_system only); single-head models score their one DOS
             m = eval_metrics(ds if ds is not None else dg, batch.y,
-                             clamp=eval_clamp)
+                             clamp=eval_clamp, graph_mask=batch.graph_mask)
             if x is not None:
                 # graph embeddings export (utils.py:91): masked sum-pool of
                 # node embeddings per graph
@@ -143,19 +149,28 @@ class Trainer:
             m["preds_global"] = dg
             return m
 
+        def train_epoch(state: TrainState, stacked: GraphBatch):
+            """lax.scan over a [S, B, ...] stack of batches: one dispatch per
+            epoch instead of per step — the TPU-idiomatic hot loop (no
+            per-step host round trip)."""
+            def body(st, batch):
+                st, metrics = train_step(st, batch)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(body, state, stacked)
+            return state, losses
+
         donate = (0,) if self._donate else ()
         if self.mesh is not None:
             repl = NamedSharding(self.mesh, P())
-            data = NamedSharding(self.mesh, P("data"))
-
-            def batch_shardings(batch_treedef_like):
-                return jax.tree.map(lambda _: data, batch_treedef_like)
-
             self._train_step = jax.jit(train_step, donate_argnums=donate,
                                        out_shardings=(repl, repl))
+            self._train_epoch = jax.jit(train_epoch, donate_argnums=donate,
+                                        out_shardings=(repl, repl))
             self._eval_step = jax.jit(eval_step)
         else:
             self._train_step = jax.jit(train_step, donate_argnums=donate)
+            self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
             self._eval_step = jax.jit(eval_step)
 
     def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
@@ -166,6 +181,18 @@ class Trainer:
 
     def train_step(self, state: TrainState, batch: GraphBatch):
         return self._train_step(state, self.shard_batch(batch))
+
+    def train_epoch(self, state: TrainState, batches):
+        """Run one scan-compiled epoch over a list of same-shape GraphBatches
+        (or an already-stacked [S, B, ...] GraphBatch pytree). Returns
+        (state, per-step losses [S])."""
+        if isinstance(batches, (list, tuple)):
+            batches = stack_batches(batches)
+        if self.mesh is not None:
+            # leading axis is the scan (step) axis; the batch axis shards
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            batches = jax.tree.map(lambda x: jax.device_put(x, sh), batches)
+        return self._train_epoch(state, batches)
 
     def eval_step(self, params, batch: GraphBatch):
         return self._eval_step(params, self.shard_batch(batch))

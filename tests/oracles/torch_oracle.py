@@ -168,6 +168,91 @@ def dostransformer_edos_forward(params, x, edge_index, edge_attr, glob, system,
     return dos_global, h_x, dos_system
 
 
+def _gnn_encode_and_process(p, x, edge_attr, senders, receivers, n_layers,
+                            aggregation):
+    h_x = mlp2(p["GN_encoder"]["node_encoder"], x)
+    h_e = mlp2(p["GN_encoder"]["edge_encoder"], edge_attr)
+    for i in range(n_layers):
+        out_x, out_e = processor(p[f"processor{i}"], h_x, senders, receivers,
+                                 h_e, aggregation)
+        h_x = h_x + out_x
+        h_e = h_e + out_e
+    return h_x, h_e
+
+
+def graphnetwork_edos_forward(params, x, edge_index, edge_attr, glob,
+                              n_layers=3, n_bins=201):
+    """Graphnetwork baseline (graphnetwork.py:10-43), single graph."""
+    p = params["params"] if "params" in params else params
+    x, edge_attr, glob = t(x), t(edge_attr), t(glob).reshape(1, -1)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+
+    h_x, _ = _gnn_encode_and_process(p, x, edge_attr, senders, receivers,
+                                     n_layers, "sum")
+    u = mlp2(p["GN_encoder"]["global_encoder"], glob)
+    pooled = h_x.sum(0, keepdim=True)
+    graph = linear(p["GN_decoder"]["mlp"], torch.cat([u, pooled], dim=-1))
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+    energies = t(p["embeddings"]).unsqueeze(0)
+    h = torch.nn.functional.leaky_relu(
+        linear(p["out0"], torch.cat([energies, graph], dim=-1)))
+    return linear(p["out1"], h)[..., 0], h_x
+
+
+def graphnetwork2_edos_forward(params, x, edge_index, edge_attr, glob,
+                               n_layers=3):
+    """Graphnetwork2 baseline (graphnetwork.py:48-74): [pooled, glob] order."""
+    p = params["params"] if "params" in params else params
+    x, edge_attr, glob = t(x), t(edge_attr), t(glob).reshape(1, -1)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+
+    h_x, _ = _gnn_encode_and_process(p, x, edge_attr, senders, receivers,
+                                     n_layers, "sum")
+    u = mlp2(p["GN_encoder"]["global_encoder"], glob)
+    pooled = h_x.sum(0, keepdim=True)
+    h = torch.nn.functional.leaky_relu(
+        linear(p["out0"], torch.cat([pooled, u], dim=-1)))
+    return linear(p["out1"], h), h_x
+
+
+def mlp_edos_forward(params, x, edge_index, edge_attr, glob, n_bins=201):
+    """mlp baseline (mlp.py:11-35): encode, decode, per-energy readout."""
+    p = params["params"] if "params" in params else params
+    x, edge_attr, glob = t(x), t(edge_attr), t(glob).reshape(1, -1)
+    h_x = mlp2(p["GN_encoder"]["node_encoder"], x)
+    u = mlp2(p["GN_encoder"]["global_encoder"], glob)
+    pooled = h_x.sum(0, keepdim=True)
+    graph = linear(p["GN_decoder"]["mlp"], torch.cat([u, pooled], dim=-1))
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+    energies = t(p["embeddings"]).unsqueeze(0)
+    h = torch.nn.functional.leaky_relu(
+        linear(p["out0"], torch.cat([energies, graph], dim=-1)))
+    return linear(p["out1"], h)[..., 0]
+
+
+def graphnetwork_phdos_forward(params, x, edge_index, edge_vec,
+                               n_layers=3, n_bins=51, r_max=4.0):
+    """Graphnetwork_phonon baseline (graphnetwork_phonon.py:14-72)."""
+    p = params["params"] if "params" in params else params
+    x, edge_vec = t(x), t(edge_vec)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+
+    edge_sh = sh_l1_component(edge_vec)
+    edge_attr = smooth_cutoff(edge_vec.norm(dim=-1) / r_max).unsqueeze(-1) * edge_sh
+    h_x, _ = _gnn_encode_and_process(p, x, edge_attr, senders, receivers,
+                                     n_layers, "mean")
+    pooled = h_x.sum(0, keepdim=True)
+    graph = linear(p["GN_decoder"]["mlp"], pooled)
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+    energies = t(p["embeddings"]).unsqueeze(0)
+    h = torch.nn.functional.leaky_relu(
+        linear(p["out0"], torch.cat([energies, graph], dim=-1)))
+    return linear(p["out1"], h)[..., 0]
+
+
 def dostransformer_phdos_forward(params, x, edge_index, edge_vec, system,
                                  n_layers=3, t_layers=2, n_bins=51, r_max=4.0):
     """Full phDOS flagship forward, single graph (B=1)

@@ -72,17 +72,38 @@ class TestMetrics:
         p = jnp.array([[-2.0, 1.0]])
         m_edos = eval_metrics(p, y, clamp=True)
         m_ph = eval_metrics(p, y, clamp=False)
-        assert float(m_edos["rmse"]) == pytest.approx(0.0)
-        assert float(m_ph["rmse"]) == pytest.approx(np.sqrt(0.5))
+        assert float(m_edos["rmse"][0]) == pytest.approx(0.0)
+        assert float(m_ph["rmse"][0]) == pytest.approx(np.sqrt(0.5))
 
-    def test_accumulator_running_mean(self):
+    def test_accumulator_per_sample_mean(self):
         acc = MetricAccumulator()
-        for v in (1.0, 3.0):
-            acc.update({"rmse": v, "mse": v, "mae": v,
-                        "y": np.array([1.0, 2.0]), "preds": np.array([1.0, 2.0])})
+        # one batch of two real samples + one dummy (mask 0): the dummy's
+        # values must not contaminate the means
+        acc.update({"rmse": np.array([1.0, 3.0, 99.0]),
+                    "mse": np.array([1.0, 3.0, 99.0]),
+                    "mae": np.array([1.0, 3.0, 99.0]),
+                    "mask": np.array([1.0, 1.0, 0.0]),
+                    "y": np.array([[1.0, 2.0]] * 3),
+                    "preds": np.array([[1.0, 2.0]] * 3)})
         r = acc.result()
         assert r["rmse"] == pytest.approx(2.0)
         assert r["r2"] == pytest.approx(1.0)
+
+    def test_accumulator_batched_equals_per_sample(self):
+        # feeding N batch-1 updates or one batch-N update must agree
+        rng = np.random.RandomState(0)
+        rmse = rng.rand(6)
+        ys = rng.rand(6, 5)
+        ps = rng.rand(6, 5)
+        a, b = MetricAccumulator(), MetricAccumulator()
+        for i in range(6):
+            a.update({"rmse": rmse[i:i+1], "mse": rmse[i:i+1],
+                      "mae": rmse[i:i+1], "mask": np.ones(1),
+                      "y": ys[i:i+1], "preds": ps[i:i+1]})
+        b.update({"rmse": rmse, "mse": rmse, "mae": rmse,
+                  "mask": np.ones(6), "y": ys, "preds": ps})
+        for k in ("rmse", "r2"):
+            assert a.result()[k] == pytest.approx(b.result()[k])
 
 
 class TestEarlyStop:
@@ -148,7 +169,7 @@ class TestTrainerIntegration:
             state, m = tr.train_step(state, batch)
             assert np.isfinite(float(m["loss"])), name
             em = tr.eval_step(state.params, batch)
-            assert np.isfinite(float(em["rmse"])), name
+            assert np.isfinite(np.asarray(em["rmse"])).all(), name
 
     def test_phdos_baselines_train(self):
         samples = synthetic_phdos_samples(8, seed=1)
@@ -160,6 +181,31 @@ class TestTrainerIntegration:
             state = tr.init_state(batch)
             state, m = tr.train_step(state, batch)
             assert np.isfinite(float(m["loss"])), name
+
+
+class TestScanEpoch:
+    def test_matches_per_step(self, tiny_edos):
+        """The scan-compiled epoch must produce the same loss trajectory as
+        per-step dispatch."""
+        _, loader = tiny_edos
+        batches = list(loader)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, donate=False)
+
+        s_a = tr.init_state(batches[0], seed=0)
+        losses_a = []
+        for b in batches:
+            s_a, m = tr.train_step(s_a, b)
+            losses_a.append(float(m["loss"]))
+
+        s_b = tr.init_state(batches[0], seed=0)
+        s_b, losses_b = tr.train_epoch(s_b, batches)
+        np.testing.assert_allclose(losses_a, np.asarray(losses_b), rtol=1e-5)
+        # parameters end up identical too
+        for pa, pb in zip(jax.tree.leaves(s_a.params),
+                          jax.tree.leaves(s_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=2e-4, atol=1e-6)
 
 
 class TestDistributed:
