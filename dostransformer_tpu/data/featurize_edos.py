@@ -45,14 +45,41 @@ def standardize_columns(x: np.ndarray) -> np.ndarray:
     return (x - mu) / sd
 
 
-def load_elem_feats(path_elem_embs: str) -> np.ndarray:
-    """matscholar-embedding.json -> [100, 200] standardized element features,
-    row order Z-1 (mat2graph.py:33-47)."""
+def load_elem_feats(path_elem_embs: Optional[str] = None) -> np.ndarray:
+    """Element feature table, row order Z-1 (mat2graph.py:33-47).
+
+    With a path: matscholar-embedding.json -> [100, 200] standardized.
+    Without (reference fallback, mat2graph.py:36-38): 8 mendeleev features +
+    1st ionization energy -> [100, 9] standardized — requires the mendeleev
+    package (offline-only dependency, exactly like the reference)."""
+    if path_elem_embs is None:
+        return get_mendeleev_feats()
     with open(path_elem_embs) as f:
         embs = json.load(f)
     rows = [np.asarray(embs[SYMBOLS[z]], np.float64)
             for z in range(N_MATSCHOLAR_ELEMENTS)]
     return standardize_columns(np.vstack(rows))
+
+
+def get_mendeleev_feats() -> np.ndarray:
+    """The reference's no-JSON fallback (mat2graph.py:50-62): 8 tabulated
+    element properties + first ionization energy, column-standardized."""
+    try:
+        from mendeleev.fetch import fetch_table
+        from mendeleev import element
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "the mendeleev fallback requires the `mendeleev` package; "
+            "pass the matscholar embeddings JSON instead") from e
+    names = ["atomic_number", "period", "en_pauling", "covalent_radius_bragg",
+             "electron_affinity", "atomic_volume", "atomic_weight",
+             "fusion_heat"]
+    tb = fetch_table("elements")[:N_MATSCHOLAR_ELEMENTS]
+    feats = np.nan_to_num(np.array(tb[names], np.float64))
+    ion = np.zeros((feats.shape[0], 1))
+    for i in range(ion.shape[0]):
+        ion[i, 0] = element(i + 1).ionenergies.get(1, 0.0)
+    return standardize_columns(np.hstack([feats, ion]))
 
 
 def gaussian_expand(distances: np.ndarray, dmin: float = 0.0,

@@ -80,6 +80,51 @@ class Trainer:
         self._build()
 
     # -- sharding -----------------------------------------------------------
+    @property
+    def _has_tp(self) -> bool:
+        return (self.mesh is not None and "model" in self.mesh.axis_names
+                and self.mesh.shape["model"] > 1)
+
+    def _param_spec(self, path) -> P:
+        """Tensor-parallel layout over the 'model' mesh axis (used only when
+        the mesh has one): the transformer FFN is the sole matmul wide enough
+        to shard at this model scale (4x widening, SURVEY.md §2.5 TP row) —
+        fc1 column-parallel, fc2 row-parallel (Megatron layout; XLA inserts
+        the psum after fc2 from the shardings). Everything else replicates."""
+        name = jax.tree_util.keystr(path)
+        if "fc1" in name and name.endswith("'kernel']"):
+            return P(None, "model")
+        if "fc1" in name and name.endswith("'bias']"):
+            return P("model")
+        if "fc2" in name and name.endswith("'kernel']"):
+            return P("model", None)
+        return P()
+
+    def state_shardings(self, state: "TrainState"):
+        """NamedShardings for a TrainState: TP params when the mesh has a
+        'model' axis, replicated otherwise; opt-state mirrors params."""
+        assert self.mesh is not None
+        mesh = self.mesh
+        if not self._has_tp:
+            return jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
+
+        def spec_of(path, leaf):
+            return NamedSharding(mesh, self._param_spec(path))
+
+        param_sh = jax.tree_util.tree_map_with_path(spec_of, state.params)
+
+        # mu/nu inside opt_state mirror the param tree; map them with the
+        # same path-suffix rule, scalars (count) replicated
+        opt_state_sh = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(
+                mesh,
+                self._param_spec(path) if getattr(leaf, "ndim", 0) > 0
+                else P()),
+            state.opt_state)
+        return state.replace(
+            step=NamedSharding(mesh, P()), params=param_sh,
+            opt_state=opt_state_sh, rng=NamedSharding(mesh, P()))
+
     def batch_sharding(self):
         if self.mesh is None:
             return None
@@ -161,7 +206,9 @@ class Trainer:
             return state, losses
 
         donate = (0,) if self._donate else ()
-        if self.mesh is not None:
+        if self.mesh is not None and not self._has_tp:
+            # pure DP: pin state replicated (params/opt-state identical on
+            # every device; XLA derives the gradient all-reduce)
             repl = NamedSharding(self.mesh, P())
             self._train_step = jax.jit(train_step, donate_argnums=donate,
                                        out_shardings=(repl, repl))
@@ -169,6 +216,8 @@ class Trainer:
                                         out_shardings=(repl, repl))
             self._eval_step = jax.jit(eval_step)
         else:
+            # single device, or dp x tp: state shardings propagate from the
+            # input placement (init_state puts params in the Megatron layout)
             self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
             self._eval_step = jax.jit(eval_step)
@@ -177,7 +226,12 @@ class Trainer:
         rng = jax.random.PRNGKey(seed)
         params = self.model.init(rng, example_batch)["params"]
         state = TrainState.create(params, self.tx, rng)
-        return self.replicate(state)
+        if self.mesh is None:
+            return state
+        if not self._has_tp:
+            return self.replicate(state)
+        sh = self.state_shardings(state)
+        return jax.tree.map(jax.device_put, state, sh)
 
     def train_step(self, state: TrainState, batch: GraphBatch):
         return self._train_step(state, self.shard_batch(batch))

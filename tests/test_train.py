@@ -234,6 +234,33 @@ class TestDistributed:
             losses8.append(float(m8["loss"]))
         np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
 
+    def test_dp_tp_matches_single_device(self, tiny_edos):
+        """dp x tp over a 2-D (data=2, model=4) mesh: FFN kernels sharded in
+        the Megatron layout; loss trajectory must match single-device."""
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+
+        tr1 = Trainer(model, donate=False)
+        s1 = tr1.init_state(batch, seed=0)
+
+        mesh = make_mesh(shape=(2, 4), axes=("data", "model"))
+        tr_tp = Trainer(model, mesh=mesh, donate=False)
+        s_tp = tr_tp.init_state(batch, seed=0)
+
+        # fc1 kernel is column-sharded over 'model'
+        fc1 = s_tp.params["transformer"]["layer0"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+        l1, ltp = [], []
+        for _ in range(3):
+            s1, m1 = tr1.train_step(s1, batch)
+            s_tp, mtp = tr_tp.train_step(s_tp, batch)
+            l1.append(float(m1["loss"]))
+            ltp.append(float(mtp["loss"]))
+        np.testing.assert_allclose(l1, ltp, rtol=2e-4)
+
     def test_batch_leaves_sharded(self, tiny_edos):
         _, loader = tiny_edos
         batch = next(iter(loader))
