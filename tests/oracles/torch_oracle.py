@@ -253,6 +253,65 @@ def graphnetwork_phdos_forward(params, x, edge_index, edge_vec,
     return linear(p["out1"], h)[..., 0]
 
 
+def mlp2_edos_forward(params, x, edge_index, edge_attr, glob):
+    """mlp2 baseline (mlp.py:41-56): encode, pool, [pooled, glob] readout."""
+    p = params["params"] if "params" in params else params
+    x, glob = t(x), t(glob).reshape(1, -1)
+    h_x = mlp2(p["GN_encoder"]["node_encoder"], x)
+    u = mlp2(p["GN_encoder"]["global_encoder"], glob)
+    pooled = h_x.sum(0, keepdim=True)
+    h = torch.nn.functional.leaky_relu(
+        linear(p["out0"], torch.cat([pooled, u], dim=-1)))
+    return linear(p["out1"], h)
+
+
+def graphnetwork2_phdos_forward(params, x, edge_index, edge_vec,
+                                n_layers=3, r_max=4.0):
+    """Graphnetwork2_phonon (graphnetwork_phonon.py:78-124, intent fix):
+    GNN, sum-pool, Linear(h->h/2)->LeakyReLU->Linear(h/2->51)."""
+    p = params["params"] if "params" in params else params
+    x, edge_vec = t(x), t(edge_vec)
+    senders = torch.as_tensor(edge_index[0], dtype=torch.long)
+    receivers = torch.as_tensor(edge_index[1], dtype=torch.long)
+    edge_sh = sh_l1_component(edge_vec)
+    edge_attr = smooth_cutoff(edge_vec.norm(dim=-1) / r_max).unsqueeze(-1) * edge_sh
+    h_x, _ = _gnn_encode_and_process(p, x, edge_attr, senders, receivers,
+                                     n_layers, "mean")
+    pooled = h_x.sum(0, keepdim=True)
+    h = torch.nn.functional.leaky_relu(linear(p["out0"], pooled))
+    return linear(p["out1"], h)
+
+
+def mlp_phdos_forward(params, x, z, edge_vec, edge_shift, n_bins=51,
+                      r_max=4.0):
+    """mlp_phonon (mlp_phonon.py:12-35, intent fixes): edge feature =
+    cutoff * edge_shift; shared node encoder over x and z; decoder
+    Linear(2h->h)([sum z_enc, sum x_enc]); MLPBlock readout per energy."""
+    p = params["params"] if "params" in params else params
+    x, z, edge_vec, edge_shift = t(x), t(z), t(edge_vec), t(edge_shift)
+    _ = smooth_cutoff(edge_vec.norm(dim=-1) / r_max).unsqueeze(-1) * edge_shift
+    h_x = mlp2(p["node_encoder"], x)
+    h_z = mlp2(p["node_encoder"], z)
+    pooled = torch.cat([h_z.sum(0, keepdim=True), h_x.sum(0, keepdim=True)],
+                       dim=-1)
+    graph = linear(p["decoder"], pooled)
+    graph = graph.unsqueeze(1).expand(1, n_bins, -1)
+    energies = t(p["embeddings"]).unsqueeze(0)
+    return mlp_block(p["out_layer"],
+                     torch.cat([energies, graph], dim=-1))[..., 0]
+
+
+def mlp2_phdos_forward(params, x, edge_index, edge_vec, r_max=4.0):
+    """mlp2_phonon (mlp_phonon.py:39-78, intent fix): encode nodes, sum-pool,
+    Linear(h->h)->LeakyReLU->Linear(h->51)."""
+    p = params["params"] if "params" in params else params
+    x = t(x)
+    h_x = mlp2(p["GN_encoder"]["node_encoder"], x)
+    pooled = h_x.sum(0, keepdim=True)
+    h = torch.nn.functional.leaky_relu(linear(p["out0"], pooled))
+    return linear(p["out1"], h)
+
+
 def dostransformer_phdos_forward(params, x, edge_index, edge_vec, system,
                                  n_layers=3, t_layers=2, n_bins=51, r_max=4.0):
     """Full phDOS flagship forward, single graph (B=1)

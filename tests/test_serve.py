@@ -1,0 +1,41 @@
+"""Serving-path tests: checkpoint -> Predictor -> batched inference."""
+
+import numpy as np
+
+from dostransformer_tpu.cli import main_phdos
+from dostransformer_tpu.data import synthetic_phdos_samples
+from dostransformer_tpu.serve import Predictor
+
+
+class TestPredictor:
+    def test_from_checkpoint_roundtrip(self, tmp_path):
+        ck = tmp_path / "ckpt"
+        main_phdos.main([
+            "--synthetic", "16", "--epochs", "1", "--eval", "1",
+            "--hidden", "32", "--layers", "2", "--transformer", "1",
+            "--batch_size", "4", "--results_dir", str(tmp_path),
+            "--checkpoint_dir", str(ck), "--checkpoint_every", "1"])
+
+        samples = synthetic_phdos_samples(10, seed=9)
+        pred = Predictor.from_checkpoint(
+            str(ck), task="phdos", example=samples[0],
+            layers=2, t_layers=1, hidden=32, batch_size=4)
+        dos = pred.predict(samples)
+        assert dos.shape == (10, 51)
+        assert np.isfinite(dos).all()
+
+    def test_order_and_batch_invariance(self, tmp_path):
+        """Predictions must be independent of the serving batch size."""
+        samples = synthetic_phdos_samples(6, seed=10)
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        import jax
+
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        batch = next(iter(GraphLoader(samples, batch_size=6)))
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+        p1 = Predictor(model, params, batch_size=2)
+        p2 = Predictor(model, params, batch_size=6)
+        np.testing.assert_allclose(p1.predict(samples), p2.predict(samples),
+                                   rtol=1e-4, atol=1e-5)
