@@ -19,7 +19,6 @@ import time
 from typing import Optional, Sequence
 
 import jax
-import numpy as np
 
 from dostransformer_tpu.config import TrainConfig, exp_get_name
 from dostransformer_tpu.data.datasets import GraphLoader
@@ -75,6 +74,10 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (params stay float32; norms/softmax f32)")
+    p.add_argument("--x64", action="store_true",
+                   help="enable float64 (CPU parity debugging only — the "
+                        "reference trains phDOS in f64, main_phDOS.py:14-16; "
+                        "TPUs have no native f64, SURVEY.md §7.3-2)")
     return p
 
 
@@ -103,10 +106,13 @@ def run_training(
     export_preds: Optional[str] = None,
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
+    x64: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if x64:
+        jax.config.update("jax_enable_x64", True)
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,

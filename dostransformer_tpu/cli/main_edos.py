@@ -57,7 +57,8 @@ def main(argv=None):
                           results_dir=args.results_dir,
                           export_preds=args.export_preds,
                           profile_dir=args.profile_dir,
-                          debug_nans=args.debug_nans)
+                          debug_nans=args.debug_nans,
+                          x64=args.x64)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

@@ -31,7 +31,7 @@ Pad semantics (normative, SURVEY.md §7.3-1):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Example:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import numpy as np

@@ -9,13 +9,8 @@ failure recovery the reference lacks.
 
 from __future__ import annotations
 
-import dataclasses
-import json
 import os
-from typing import Any, Optional
-
-import jax
-import numpy as np
+from typing import Optional
 
 try:
     import orbax.checkpoint as ocp

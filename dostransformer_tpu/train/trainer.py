@@ -16,8 +16,7 @@ eager single-device PyTorch). Design:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
