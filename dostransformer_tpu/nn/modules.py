@@ -43,7 +43,16 @@ class TorchLinear(fnn.Module):
     """nn.Linear with torch default initialization.
 
     Mixed precision: params are stored float32 and cast to the operand dtype —
-    feeding bfloat16 activations runs the matmul natively on the MXU."""
+    feeding bfloat16 activations runs the matmul natively on the MXU.
+
+    Split/gather form: ``x`` may be a sequence of ``(tensor, gather_idx)``
+    pairs whose (gathered) concatenation along the last axis is the logical
+    input. Each part is projected through its slice of the kernel FIRST and
+    gathered (``take_along_axis`` on axis 1) AFTER — mathematically identical
+    to concat-then-matmul, but node-level parts are projected at node count
+    instead of edge count (~12x fewer rows for the crystal graphs here), the
+    dominant-FLOP optimization for message passing. The parameter tree is
+    identical in both forms."""
 
     features: int
     use_bias: bool = True
@@ -51,9 +60,17 @@ class TorchLinear(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1]
+        parts = x if isinstance(x, (list, tuple)) else ((x, None),)
+        fan_in = sum(t.shape[-1] for t, _ in parts)
         kernel = self.param("kernel", self.kernel_init, (fan_in, self.features))
-        y = x @ kernel.astype(x.dtype)
+        off, y = 0, None
+        for t, idx in parts:
+            k = kernel[off:off + t.shape[-1]].astype(t.dtype)
+            part = t @ k
+            if idx is not None:
+                part = jnp.take_along_axis(part, idx[..., None], axis=1)
+            y = part if y is None else y + part
+            off += t.shape[-1]
         if self.use_bias:
             bias = self.param("bias", torch_linear_bias_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
@@ -106,16 +123,18 @@ class MLPBlock(fnn.Module):
 
 class EdgeModel(fnn.Module):
     """e' = MLP([x_src, x_dst, e]) (DOSTransformer.py:168-175).
-    x [B, A, h]; senders/receivers [B, Eg] local indices."""
+    x [B, A, h]; senders/receivers [B, Eg] local indices.
+
+    The first Linear is applied in project-then-gather form (see TorchLinear):
+    the src/dst kernel slices run at node count, not edge count — identical
+    math, ~2.9x fewer FLOPs at 12 edges/atom."""
 
     hidden: int
 
     @fnn.compact
     def __call__(self, x, senders, receivers, edge_attr):
-        src = jnp.take_along_axis(x, senders[..., None], axis=1)
-        dst = jnp.take_along_axis(x, receivers[..., None], axis=1)
-        out = jnp.concatenate([src, dst, edge_attr], axis=-1)
-        return MLPBlock(self.hidden * 2, self.hidden, name="edge_mlp")(out)
+        parts = ((x, senders), (x, receivers), (edge_attr, None))
+        return MLPBlock(self.hidden * 2, self.hidden, name="edge_mlp")(parts)
 
 
 class NodeModel(fnn.Module):
@@ -137,8 +156,8 @@ class NodeModel(fnn.Module):
             agg = batched_segment_mean(masked, receivers, a, edge_mask)
         else:
             raise ValueError(self.aggregation)
-        out = jnp.concatenate([x, agg], axis=-1)
-        return MLPBlock(self.hidden * 2, self.hidden, name="node_mlp_2")(out)
+        return MLPBlock(self.hidden * 2, self.hidden, name="node_mlp_2")(
+            ((x, None), (agg, None)))
 
 
 class Processor(fnn.Module):
