@@ -74,6 +74,13 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (params stay float32; norms/softmax f32)")
+    p.add_argument("--host_loader", action="store_true",
+                   help="collate+transfer batches from the host each epoch "
+                        "instead of the device-resident dataset pipeline "
+                        "(which uploads once and shuffles on device)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer/processor layers in the "
+                        "backward pass (jax.checkpoint: memory for FLOPs)")
     p.add_argument("--x64", action="store_true",
                    help="enable float64 (CPU parity debugging only — the "
                         "reference trains phDOS in f64, main_phDOS.py:14-16; "
@@ -107,6 +114,8 @@ def run_training(
     profile_dir: Optional[str] = None,
     debug_nans: bool = False,
     x64: bool = False,
+    remat: bool = False,
+    host_loader: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
     if debug_nans:
@@ -116,7 +125,7 @@ def run_training(
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
-                        use_pallas=use_pallas, dtype=cfg.dtype)
+                        use_pallas=use_pallas, dtype=cfg.dtype, remat=remat)
     mesh = make_mesh(axes=("data",)) if data_parallel else None
     is_edos = task == "edos"
     trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
@@ -130,12 +139,13 @@ def run_training(
     # are per-sample masked, so any eval batch size gives identical results
     eval_bs = mesh.devices.size if mesh is not None else 1
     # pin eval shapes to the training buckets: one compiled shape per split
-    mk_eval = lambda ss: GraphLoader(
-        ss, batch_size=eval_bs,
-        atoms_per_graph=max(loader.atoms_per_graph,
-                            *(s.n_nodes for s in list(valid) + list(test))),
-        edges_per_graph=max(loader.edges_per_graph,
-                            *(max(s.n_edges, 1) for s in list(valid) + list(test))))
+    eval_samples = list(valid) + list(test)
+    a_pin = max([loader.atoms_per_graph] + [s.n_nodes for s in eval_samples])
+    e_pin = max([loader.edges_per_graph]
+                + [max(s.n_edges, 1) for s in eval_samples])
+    mk_eval = lambda ss: GraphLoader(ss, batch_size=eval_bs,
+                                     atoms_per_graph=a_pin,
+                                     edges_per_graph=e_pin)
     valid_loader, test_loader = mk_eval(valid), mk_eval(test)
 
     state = trainer.init_state(next(iter(loader)), seed=cfg.seed)
@@ -161,6 +171,21 @@ def run_training(
                 artifacts.update(m, batch)
         return acc.result()
 
+    device_data = None
+    epoch_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+    if mesh is not None:
+        # under DP the batch axis is sharded; the device-side permutation
+        # gather would cross shards — use the host loader there
+        host_loader = True
+    if not host_loader:
+        # device-resident pipeline: upload once, shuffle+batch on device
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        device_data = DeviceDataset.from_samples(
+            train, cfg.batch_size,
+            atoms_per_graph=loader.atoms_per_graph,
+            edges_per_graph=loader.edges_per_graph)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     t_start = time.perf_counter()
@@ -169,9 +194,14 @@ def run_training(
     for epoch in range(cfg.epochs):
         # scan-compiled epoch: one dispatch for the whole epoch (fixed batch
         # shapes make this possible — the TPU-idiomatic hot loop)
-        batches = list(loader)
-        state, losses = trainer.train_epoch(state, batches)
-        n_steps += len(batches)
+        if device_data is not None:
+            state, losses, epoch_rng = trainer.train_epoch_device(
+                state, device_data, epoch_rng)
+            n_steps += int(losses.shape[0])
+        else:
+            batches = list(loader)
+            state, losses = trainer.train_epoch(state, batches)
+            n_steps += len(batches)
         mean_loss = float(losses.mean())
         sys.stdout.write(
             f"\r[ epoch {epoch + 1}/{cfg.epochs} ] loss {mean_loss:.4f} ")

@@ -58,7 +58,9 @@ def main(argv=None):
                           export_preds=args.export_preds,
                           profile_dir=args.profile_dir,
                           debug_nans=args.debug_nans,
-                          x64=args.x64)
+                          x64=args.x64,
+                          remat=args.remat,
+                          host_loader=args.host_loader)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

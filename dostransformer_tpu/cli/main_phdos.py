@@ -61,6 +61,12 @@ def main(argv=None):
         train = [samples[i] for i in idx_tr]
         valid = [samples[i] for i in idx_va]
         test = [samples[i] for i in idx_te]
+        if not valid or not test:
+            # the element-balanced splitter can leave tiny datasets with an
+            # empty dev split; fall back to a random 80/10/10
+            print("element-balanced split produced an empty dev set; "
+                  "falling back to a random 80/10/10 split")
+            train, valid, test = edos_random_split(samples, cfg.random_state)
 
     print(f"train/valid/test: {len(train)}/{len(valid)}/{len(test)}")
     result = run_training("phdos", cfg, train, valid, test,
@@ -70,7 +76,9 @@ def main(argv=None):
                           export_preds=args.export_preds,
                           profile_dir=args.profile_dir,
                           debug_nans=args.debug_nans,
-                          x64=args.x64)
+                          x64=args.x64,
+                          remat=args.remat,
+                          host_loader=args.host_loader)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

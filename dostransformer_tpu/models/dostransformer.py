@@ -53,6 +53,8 @@ class _DOSTransformerBase(fnn.Module):
     aggregation: str = "sum"         # eDOS scatter_sum; phDOS scatter_mean
     dtype: str = "float32"           # compute dtype: float32 | bfloat16
                                      # (params stay f32; norms/softmax run f32)
+    remat: bool = False              # rematerialize transformer layers +
+                                     # processors in the backward pass
 
     @property
     def _cdtype(self):
@@ -66,7 +68,8 @@ class _DOSTransformerBase(fnn.Module):
     def _build_transformers(self):
         mk = lambda name: TransformerEncoder(
             embed_dim=self.hidden, num_heads=1, layers=self.t_layers,
-            attn_dropout=self.attn_drop, use_pallas=self.use_pallas, name=name)
+            attn_dropout=self.attn_drop, use_pallas=self.use_pallas,
+            remat=self.remat, name=name)
         return mk("transformer"), mk("transformer_self"), mk("transformer_source")
 
     def _energy_tokens(self, b: int):
@@ -79,8 +82,9 @@ class _DOSTransformerBase(fnn.Module):
         return table.astype(self._cdtype)[system]  # [B, h/2]
 
     def _message_passing(self, g: GraphBatch, x, edge_attr, deterministic):
+        proc_cls = fnn.remat(Processor) if self.remat else Processor
         for i in range(self.layers):
-            out_x, out_e = Processor(self.hidden, self.aggregation, name=f"processor{i}")(
+            out_x, out_e = proc_cls(self.hidden, self.aggregation, name=f"processor{i}")(
                 x, g.senders, g.receivers, edge_attr, g.edge_mask)
             # residual applied by the caller, as in the reference (:56-59)
             x = x + out_x

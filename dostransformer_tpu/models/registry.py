@@ -54,6 +54,7 @@ def build_model(
     padding: str = "mask",
     use_pallas: Optional[bool] = None,
     dtype: str = "float32",
+    remat: bool = False,
 ):
     """Instantiate a model by (task, embedder) name.
 
@@ -76,4 +77,6 @@ def build_model(
         kwargs["use_pallas"] = use_pallas
     if "dtype" in cls.__dataclass_fields__:
         kwargs["dtype"] = dtype
+    if "remat" in cls.__dataclass_fields__:
+        kwargs["remat"] = remat
     return cls(**kwargs)

@@ -114,6 +114,8 @@ class TransformerEncoder(fnn.Module):
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    remat: bool = False  # rematerialize each layer in the backward pass
+                         # (jax.checkpoint: trade FLOPs for activation memory)
 
     @fnn.compact
     def __call__(self, x_in, x_in_k=None, x_in_v=None, key_mask=None,
@@ -128,8 +130,15 @@ class TransformerEncoder(fnn.Module):
             x_v = fnn.Dropout(self.embed_dropout, name="embed_drop_v")(
                 x_in_v, deterministic=deterministic)
 
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # statics: key_mask slot only when it is None, plus deterministic
+            statics = (4, 5) if key_mask is None else (5,)
+            layer_cls = fnn.remat(TransformerEncoderLayer,
+                                  static_argnums=statics)
+
         for i in range(self.layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.embed_dim, self.num_heads, self.attn_dropout,
                 self.relu_dropout, self.res_dropout, self.use_pallas,
                 name=f"layer{i}",

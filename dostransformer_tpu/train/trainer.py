@@ -204,6 +204,18 @@ class Trainer:
             state, losses = jax.lax.scan(body, state, stacked)
             return state, losses
 
+        def train_epoch_device(state: TrainState, data, perm):
+            """Epoch over a device-resident dataset: shuffle indices are
+            gathered ON DEVICE inside the scan — no per-epoch host work
+            (train/device_dataset.py)."""
+            def body(st, idx):
+                batch = jax.tree.map(lambda x: x[idx], data)
+                st, metrics = train_step(st, batch)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(body, state, perm)
+            return state, losses
+
         donate = (0,) if self._donate else ()
         if self.mesh is not None and not self._has_tp:
             # pure DP: pin state replicated (params/opt-state identical on
@@ -213,12 +225,17 @@ class Trainer:
                                        out_shardings=(repl, repl))
             self._train_epoch = jax.jit(train_epoch, donate_argnums=donate,
                                         out_shardings=(repl, repl))
+            self._train_epoch_device = jax.jit(
+                train_epoch_device, donate_argnums=donate,
+                out_shardings=(repl, repl))
             self._eval_step = jax.jit(eval_step)
         else:
             # single device, or dp x tp: state shardings propagate from the
             # input placement (init_state puts params in the Megatron layout)
             self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
+            self._train_epoch_device = jax.jit(train_epoch_device,
+                                               donate_argnums=donate)
             self._eval_step = jax.jit(eval_step)
 
     def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
@@ -234,6 +251,17 @@ class Trainer:
 
     def train_step(self, state: TrainState, batch: GraphBatch):
         return self._train_step(state, self.shard_batch(batch))
+
+    def train_epoch_device(self, state: TrainState, dataset, rng: jax.Array):
+        """One epoch over a DeviceDataset: draws a device-side permutation,
+        gathers [S, B] batches inside the scan. Returns (state, losses, rng).
+        The whole epoch is one dispatch with zero host->device data traffic."""
+        rng, sub = jax.random.split(rng)
+        perm = jax.random.permutation(sub, dataset.num_samples)
+        s, b = dataset.steps_per_epoch, dataset.batch_size
+        perm = perm[: s * b].reshape(s, b)
+        state, losses = self._train_epoch_device(state, dataset.data, perm)
+        return state, losses, rng
 
     def train_epoch(self, state: TrainState, batches):
         """Run one scan-compiled epoch over a list of same-shape GraphBatches

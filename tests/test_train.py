@@ -214,6 +214,34 @@ class TestConvergence:
         assert rmse < 0.65 * baseline_rmse, (rmse, baseline_rmse)
 
 
+class TestRemat:
+    def test_remat_matches_no_remat(self, tiny_edos):
+        """remat=True recomputes activations in the backward pass — outputs,
+        loss, and gradients must be identical."""
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        m0 = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        m1 = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32, remat=True)
+        params = m0.init(jax.random.PRNGKey(0), batch)
+
+        out0 = m0.apply(params, batch)
+        out1 = m1.apply(params, batch)
+        np.testing.assert_allclose(np.asarray(out0[0]), np.asarray(out1[0]),
+                                   rtol=1e-6)
+
+        def loss(m):
+            def f(p):
+                dg, _, ds = m.apply({"params": p}, batch)
+                return ((batch.y - dg) ** 2).mean() + ((batch.y - ds) ** 2).mean()
+            return f
+
+        g0 = jax.grad(loss(m0))(params["params"])
+        g1 = jax.grad(loss(m1))(params["params"])
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
 class TestScanEpoch:
     def test_matches_per_step(self, tiny_edos):
         """The scan-compiled epoch must produce the same loss trajectory as
@@ -237,6 +265,48 @@ class TestScanEpoch:
                           jax.tree.leaves(s_b.params)):
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                        rtol=2e-4, atol=1e-6)
+
+
+class TestDeviceDataset:
+    def test_trains_and_handles_ragged_n(self):
+        """Device-resident pipeline: N not divisible by B pads with dummy
+        graphs; every real sample is seen each epoch; loss decreases."""
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(11, seed=6)  # 11 % 4 != 0
+        dds = DeviceDataset.from_samples(samples, batch_size=4)
+        assert dds.num_samples == 12 and dds.steps_per_epoch == 3
+        assert float(dds.data.graph_mask.sum()) == 11.0
+
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model)
+        from dostransformer_tpu.data.graph import collate
+
+        state = tr.init_state(collate(samples[:4]))
+        rng = jax.random.PRNGKey(0)
+        first = last = None
+        for _ in range(3):
+            state, losses, rng = tr.train_epoch_device(state, dds, rng)
+            if first is None:
+                first = float(losses.mean())
+            last = float(losses.mean())
+        assert last < first
+
+    def test_deterministic_given_rng(self):
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+        from dostransformer_tpu.data.graph import collate
+
+        samples = synthetic_edos_samples(8, seed=7)
+        dds = DeviceDataset.from_samples(samples, batch_size=4)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, donate=False)
+        out = []
+        for _ in range(2):
+            state = tr.init_state(collate(samples[:4]), seed=0)
+            rng = jax.random.PRNGKey(3)
+            state, losses, rng = tr.train_epoch_device(state, dds, rng)
+            out.append(np.asarray(losses))
+        np.testing.assert_array_equal(out[0], out[1])
 
 
 class TestDistributed:
