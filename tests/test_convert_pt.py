@@ -1,0 +1,74 @@
+"""Tests the reference-.pt migration converter WITHOUT torch_geometric:
+synthesizes a .pt whose pickle references torch_geometric class paths, then
+converts via the stub-unpickle path."""
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+from dostransformer_tpu.data.convert_reference_pt import convert
+from dostransformer_tpu.data.io import load_samples
+
+
+def _fake_reference_pt(path, n=3, seed=0):
+    """Build a .pt like the reference's dos_dataset_random.pt: a list of
+    objects pickled under the torch_geometric.data.data.Data path."""
+    mod = types.ModuleType("torch_geometric.data.data")
+
+    class Data:  # minimal PyG-like container (attribute dict)
+        pass
+
+    Data.__module__ = "torch_geometric.data.data"
+    Data.__qualname__ = "Data"
+    mod.Data = Data
+    pkg = types.ModuleType("torch_geometric")
+    sub = types.ModuleType("torch_geometric.data")
+    sys.modules["torch_geometric"] = pkg
+    sys.modules["torch_geometric.data"] = sub
+    sys.modules["torch_geometric.data.data"] = mod
+
+    rng = np.random.RandomState(seed)
+    items = []
+    for i in range(n):
+        d = Data()
+        n_atoms = int(rng.randint(3, 7))
+        d.x = torch.tensor(rng.randn(n_atoms + 1, 200), dtype=torch.float)
+        d.edge_index = torch.tensor(
+            np.stack([np.repeat(np.arange(n_atoms), 12),
+                      rng.randint(0, n_atoms, n_atoms * 12)]),
+            dtype=torch.long)
+        d.edge_attr = torch.tensor(rng.rand(n_atoms * 12, 41), dtype=torch.float)
+        y = torch.tensor(np.abs(rng.randn(201)), dtype=torch.float)
+        d.y = y / y.max()
+        d.y_ft = y / y.max()
+        d.y_max = torch.tensor(float(y.max()))
+        d.glob = torch.tensor(rng.randn(2), dtype=torch.float)
+        d.band_gap = torch.tensor(0.5)
+        d.efermi = torch.tensor(1.5)
+        d.system = torch.tensor(i % 7)
+        d.mp_id = f"mp-{i}"
+        items.append(d)
+    torch.save(items, path)
+    for m in ("torch_geometric", "torch_geometric.data",
+              "torch_geometric.data.data"):
+        del sys.modules[m]
+
+
+class TestConvert:
+    def test_roundtrip_without_pyg(self, tmp_path):
+        pt = tmp_path / "dos_dataset_random.pt"
+        npz = tmp_path / "out.npz"
+        _fake_reference_pt(str(pt))
+        assert "torch_geometric" not in sys.modules
+        samples = convert(str(pt), str(npz))
+        assert len(samples) == 3
+        s = samples[0]
+        assert s.x.shape[1] == 200 and s.edge_attr.shape[1] == 41
+        assert s.y.shape == (201,) and s.glob.shape == (2,)
+        assert s.mp_id == "mp-0" and s.band_gap == 0.5
+        loaded = load_samples(str(npz))
+        np.testing.assert_array_equal(loaded[1].x, samples[1].x)
+        # stubs must not leak into sys.modules
+        assert "torch_geometric" not in sys.modules
