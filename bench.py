@@ -73,27 +73,34 @@ def measure_jax() -> float:
     trainer = Trainer(model)
     state = trainer.init_state(batches[0], seed=0)
 
-    # scan-compiled epoch: one dispatch for STEPS steps; the tunneled-TPU
-    # backend has noisy dispatch latency, so take the median of several reps
-    from dostransformer_tpu.train.trainer import stack_batches
-
-    stacked = stack_batches([batches[i % len(batches)] for i in range(STEPS)])
+    # production path: device-resident dataset, scan-compiled epochs — one
+    # dispatch per measurement; the tunneled-TPU backend has noisy dispatch
+    # latency and an unreliable block_until_ready, so use value-fetch
+    # barriers and the median of several reps
     import numpy as np
 
+    from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+    dds = DeviceDataset.from_samples(
+        samples * (STEPS * BATCH // len(samples) + 1), BATCH,
+        atoms_per_graph=loader.atoms_per_graph,
+        edges_per_graph=loader.edges_per_graph)
+    import jax.random as jrandom
+
+    rng = jrandom.PRNGKey(0)
     for _ in range(WARMUP):
-        state, losses = trainer.train_epoch(state, stacked)
-        np.asarray(losses)  # value fetch: the only reliable completion
-                            # barrier through the tunneled TPU backend
+        state, losses, rng = trainer.train_epoch_device(state, dds, rng)
+        np.asarray(losses)
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, losses = trainer.train_epoch(state, stacked)
+        state, losses, rng = trainer.train_epoch_device(state, dds, rng)
         np.asarray(losses)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    return STEPS * BATCH / dt
+    return dds.steps_per_epoch * BATCH / dt
 
 
 def main():

@@ -1,0 +1,51 @@
+"""Batch-inference driver: featurized samples (.npz) + checkpoint -> DOS
+spectra (.npz).
+
+The reference has no inference entry point at all (SURVEY.md §5: the model is
+never serialized); this is the serving counterpart of main_edos/main_phdos.
+
+    python -m dostransformer_tpu.cli.main_predict \
+        --task phdos --checkpoint_dir ckpt/ --input data.npz --output preds.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("dostpu-predict")
+    p.add_argument("--task", required=True, choices=["edos", "phdos"])
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--input", required=True, help="featurized samples .npz")
+    p.add_argument("--output", required=True, help="predictions .npz")
+    p.add_argument("--embedder", default="DOSTransformer")
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--transformer", type=int, default=2)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from dostransformer_tpu.data.io import load_samples
+    from dostransformer_tpu.serve import Predictor
+
+    samples = load_samples(args.input)
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint_dir, task=args.task, example=samples[0],
+        embedder=args.embedder, layers=args.layers,
+        t_layers=args.transformer, hidden=args.hidden,
+        batch_size=args.batch_size)
+    dos = predictor.predict(samples)
+    np.savez_compressed(
+        args.output, dos=dos,
+        sample_id=np.asarray([s.sample_id for s in samples]),
+        mp_id=np.asarray([s.mp_id for s in samples]))
+    print(f"predicted {dos.shape[0]} spectra ({dos.shape[1]} bins) "
+          f"-> {args.output}")
+    return dos
+
+
+if __name__ == "__main__":
+    main()

@@ -23,9 +23,14 @@ Pad semantics (normative, SURVEY.md §7.3-1):
     node aggregation (and from segment-mean denominators);
   * under `padding="ref"` zeroed pad rows act as attention keys exactly like
     torch to_dense_batch zero-rows in the reference (which never builds a
-    key-padding mask, DOSTransformer.py:61-63); under `padding="mask"`
-    (default) they are masked out of attention, which coincides with reference
-    behavior at batch_size=1 (no padding exists there).
+    key-padding mask, DOSTransformer.py:61-63); bit-parity with the reference
+    additionally requires exact shapes (atoms_per_graph == batch max,
+    use_buckets=False), since bucket padding adds MORE zero keys than torch
+    to_dense_batch would — verified in
+    tests/test_model_parity.py::TestRefPaddingBatchedParity;
+  * under `padding="mask"` (default) pad rows are masked out of attention,
+    which coincides with reference behavior at batch_size=1 (no padding
+    exists there) and is invariant to bucket size.
 """
 
 from __future__ import annotations

@@ -180,6 +180,77 @@ def _gnn_encode_and_process(p, x, edge_attr, senders, receivers, n_layers,
     return h_x, h_e
 
 
+def dostransformer_edos_forward_batched(params, graphs, n_layers=3,
+                                        t_layers=2, n_bins=201):
+    """Batched eDOS flagship forward with the reference's batch semantics:
+    ragged concatenation + batch vector, scatter by GLOBAL node index,
+    to_dense_batch zero-padding, and NO attention key mask
+    (DOSTransformer.py:61-63 — padded zero rows act as keys).
+
+    graphs: list of dicts with x, edge_index, edge_attr, glob, system.
+    Returns (dos_global [B, bins], node_emb [N_total, h], dos_system).
+    """
+    p = params["params"] if "params" in params else params
+    b = len(graphs)
+    xs, eis, eas, globs, systems, batch_vec = [], [], [], [], [], []
+    off = 0
+    for gi, g in enumerate(graphs):
+        n = g["x"].shape[0]
+        xs.append(t(g["x"]))
+        eis.append(torch.as_tensor(g["edge_index"], dtype=torch.long) + off)
+        eas.append(t(g["edge_attr"]))
+        globs.append(t(g["glob"]).reshape(-1))
+        systems.append(int(g["system"]))
+        batch_vec.append(torch.full((n,), gi, dtype=torch.long))
+        off += n
+    x = torch.cat(xs)
+    senders, receivers = torch.cat(eis, dim=1)
+    edge_attr = torch.cat(eas)
+    glob = torch.stack(globs)
+    batch_vec = torch.cat(batch_vec)
+
+    energies = t(p["embeddings"]).unsqueeze(0).expand(b, -1, -1).clone()
+    enc = p["GN_encoder"]
+    h_x = mlp2(enc["node_encoder"], x)
+    h_e = mlp2(enc["edge_encoder"], edge_attr)
+    u = mlp2(enc["global_encoder"], glob)
+
+    for i in range(n_layers):
+        out_x, out_e = processor(p[f"processor{i}"], h_x, senders, receivers,
+                                 h_e, "sum")
+        h_x = h_x + out_x
+        h_e = h_e + out_e
+
+    # to_dense_batch: [B, A_max, h] zero-padded, NO mask
+    counts = torch.bincount(batch_vec, minlength=b)
+    a_max = int(counts.max())
+    dense = torch.zeros(b, a_max, h_x.shape[-1], dtype=h_x.dtype)
+    pos = torch.cat([torch.arange(int(c)) for c in counts])
+    dense[batch_vec, pos] = h_x
+
+    energies = transformer_encoder(p["transformer"], energies, dense, dense,
+                                   t_layers)
+    pooled = scatter_sum(h_x, batch_vec, b)
+    graph = linear(p["GN_decoder"]["mlp"], torch.cat([u, pooled], dim=-1))
+    graph = graph.unsqueeze(1).expand(b, n_bins, -1)
+
+    def head(dos_in):
+        d = transformer_encoder(p["transformer_self"], dos_in, dos_in, dos_in,
+                                t_layers)
+        d = transformer_encoder(p["transformer_source"], d, dense, dense,
+                                t_layers)
+        return linear(p["out_layer"], d)[..., 0]
+
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc"], torch.cat([energies, graph], dim=-1)))
+    dos_global = head(dos_in)
+    prompt = t(p["prompt_token"])[systems].unsqueeze(1).expand(b, n_bins, -1)
+    dos_in = torch.nn.functional.leaky_relu(
+        linear(p["fc_prompt"], torch.cat([energies, graph, prompt], dim=-1)))
+    dos_system = head(dos_in)
+    return dos_global, h_x, dos_system
+
+
 def graphnetwork_edos_forward(params, x, edge_index, edge_attr, glob,
                               n_layers=3, n_bins=201):
     """Graphnetwork baseline (graphnetwork.py:10-43), single graph."""

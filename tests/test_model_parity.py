@@ -97,6 +97,40 @@ class TestPhDOSParity:
         np.testing.assert_allclose(np.asarray(ds1), np.asarray(ds2), rtol=1e-4, atol=1e-5)
 
 
+class TestRefPaddingBatchedParity:
+    def test_batch2_ref_padding_matches_torch_to_dense_batch(self):
+        """Training-time batch semantics (SURVEY.md §2.3-10): with
+        padding='ref', zero pad rows act as attention keys exactly like torch
+        to_dense_batch in the reference — verified against a batched oracle
+        with ragged concat + global-index scatter + zero-padded dense batch
+        and NO mask."""
+        s1, s2 = synthetic_edos_samples(2, seed=13, min_atoms=5, max_atoms=11)
+        assert s1.n_nodes != s2.n_nodes  # genuinely ragged
+        a_max = max(s1.n_nodes, s2.n_nodes)
+        e_max = max(s1.n_edges, s2.n_edges)
+        batch = collate([s1, s2], atoms_per_graph=a_max,
+                        edges_per_graph=e_max, use_buckets=False)
+        model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=64,
+                                   padding="ref")
+        params = model.init(jax.random.PRNGKey(2), batch)
+        dg, x, ds = model.apply(params, batch)
+
+        graphs = [dict(x=s.x, edge_index=s.edge_index, edge_attr=s.edge_attr,
+                       glob=s.glob, system=s.system) for s in (s1, s2)]
+        odg, ox, ods = oracle.dostransformer_edos_forward_batched(
+            _to_numpy_tree(params), graphs, n_layers=3, t_layers=2)
+        np.testing.assert_allclose(np.asarray(dg), odg.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ds), ods.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        # node embeddings: ours padded [B, A, h]; oracle ragged [N, h]
+        ours = np.asarray(x)
+        np.testing.assert_allclose(ours[0, :s1.n_nodes], ox[:s1.n_nodes],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(ours[1, :s2.n_nodes], ox[s1.n_nodes:],
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestSharedHeadWeights:
     def test_heads_share_transformer_params(self):
         """The reference reuses transformer_self/transformer_source/out_layer
