@@ -157,10 +157,11 @@ def run_training(
 
         ckpt = CheckpointManager(cfg.checkpoint_dir)
         restored = ckpt.restore(state)
-        if restored is not None:
-            state, start_epoch, rtracker = restored
-            tracker = rtracker or tracker
-            print(f"resumed from epoch {start_epoch}")
+    start_epoch = 0
+    if ckpt is not None and restored is not None:
+        state, start_epoch, rtracker = restored
+        tracker = rtracker or tracker
+        print(f"resumed from epoch {start_epoch}")
 
     def run_eval(loader_, artifacts=None):
         acc = MetricAccumulator()
@@ -172,7 +173,9 @@ def run_training(
         return acc.result()
 
     device_data = None
-    epoch_rng = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
+    # per-epoch shuffle keys derive from (seed, epoch): checkpoint resume
+    # replays the exact same data order as an uninterrupted run
+    shuffle_base = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
     if mesh is not None:
         # under DP the batch axis is sharded; the device-side permutation
         # gather would cross shards — use the host loader there
@@ -191,12 +194,12 @@ def run_training(
     t_start = time.perf_counter()
     n_steps = 0
     stopped_early = False
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         # scan-compiled epoch: one dispatch for the whole epoch (fixed batch
         # shapes make this possible — the TPU-idiomatic hot loop)
         if device_data is not None:
-            state, losses, epoch_rng = trainer.train_epoch_device(
-                state, device_data, epoch_rng)
+            state, losses, _ = trainer.train_epoch_device(
+                state, device_data, jax.random.fold_in(shuffle_base, epoch))
             n_steps += int(losses.shape[0])
         else:
             batches = list(loader)

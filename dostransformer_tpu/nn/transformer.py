@@ -75,9 +75,30 @@ class TransformerEncoderLayer(fnn.Module):
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
         attn_fn = fused_attention if use_pallas else dot_product_attention
-        a = attn_fn(q, k, v, key_mask,
-                    dropout_rate=self.attn_dropout if not deterministic else 0.0,
-                    dropout_rng=dropout_rng)
+        rate = self.attn_dropout if not deterministic else 0.0
+        if self.num_heads > 1:
+            # opt-in extension: true head-split attention. The reference's
+            # forward ignores num_heads (multihead_attention.py:49-76 — its
+            # projection-free math is single-head); num_heads=1 (default)
+            # reproduces that exactly.
+            h = self.num_heads
+            b, lq, d = q.shape
+            assert d % h == 0, (d, h)
+
+            def split(t):
+                bb, ll, _ = t.shape
+                return (t.reshape(bb, ll, h, d // h)
+                        .transpose(0, 2, 1, 3).reshape(bb * h, ll, d // h))
+
+            mask_h = (jnp.repeat(key_mask, h, axis=0)
+                      if key_mask is not None else None)
+            a = attn_fn(split(q), split(k), split(v), mask_h,
+                        dropout_rate=rate, dropout_rng=dropout_rng)
+            a = (a.reshape(b, h, lq, d // h)
+                 .transpose(0, 2, 1, 3).reshape(b, lq, d))
+        else:
+            a = attn_fn(q, k, v, key_mask,
+                        dropout_rate=rate, dropout_rng=dropout_rng)
         a = fnn.Dropout(self.res_dropout, name="res_drop0")(a, deterministic=deterministic)
         x = residual + a
 

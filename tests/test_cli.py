@@ -64,3 +64,25 @@ class TestCheckpointResume:
 
         mgr = CheckpointManager(str(ck))
         assert mgr.latest_epoch() == 2
+
+    def test_crash_resume_matches_uninterrupted(self, tmp_path):
+        """Restart-based failure recovery (SURVEY.md §5): a run killed after
+        epoch 2 and resumed must reproduce the uninterrupted 4-epoch run
+        exactly (state + tracker + deterministic per-epoch shuffles)."""
+        def flags(results, ck, epochs):
+            return ["--synthetic", "24", "--epochs", str(epochs),
+                    "--eval", "2", "--hidden", "32", "--layers", "2",
+                    "--transformer", "1", "--batch_size", "4",
+                    "--results_dir", str(results),
+                    "--checkpoint_dir", str(ck), "--checkpoint_every", "2"]
+
+        r_full = main_phdos.main(flags(tmp_path / "a", tmp_path / "cka", 4))
+        # "crash" after epoch 2, then resume to 4
+        main_phdos.main(flags(tmp_path / "b", tmp_path / "ckb", 2))
+        r_resumed = main_phdos.main(flags(tmp_path / "b", tmp_path / "ckb", 4))
+
+        assert r_resumed["best_epoch"] == r_full["best_epoch"]
+        np.testing.assert_allclose(r_resumed["best_valid_rmse"],
+                                   r_full["best_valid_rmse"], rtol=1e-5)
+        np.testing.assert_allclose(r_resumed["test"]["rmse"],
+                                   r_full["test"]["rmse"], rtol=1e-5)
