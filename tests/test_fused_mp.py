@@ -94,6 +94,25 @@ class TestFusedMP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=1e-5)
 
+    def test_phdos_mean_aggregation_equivalence(self):
+        """phDOS uses scatter_mean; the fused kernel returns the masked sum
+        and NodeModel divides by the degree count — must match exactly."""
+        from dostransformer_tpu.data import collate, synthetic_phdos_samples
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+
+        samples = synthetic_phdos_samples(3, seed=19)
+        batch = collate(samples)
+        m0 = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32,
+                                 use_fused_mp=False)
+        m1 = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32,
+                                 use_fused_mp=True)
+        params = m0.init(jax.random.PRNGKey(0), batch)
+        out0 = m0.apply(params, batch)
+        out1 = m1.apply(params, batch)
+        for a, b in zip(out0, out1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
     @pytest.mark.parametrize("shape", [(1, 5, 30, 32, 16), (2, 40, 300, 64, 64)])
     def test_shapes(self, shape):
         b, a, e, m, h = shape
