@@ -122,10 +122,18 @@ def run_training(
         jax.config.update("jax_debug_nans", True)
     if x64:
         jax.config.update("jax_enable_x64", True)
+    use_fused_mp = None
+    if data_parallel:
+        # custom Pallas kernels under jit-partitioned (SPMD) execution are
+        # not yet validated on multi-chip meshes — use the XLA paths there
+        # (they partition cleanly); revisit once verified on a real pod
+        use_pallas = False if use_pallas is None else use_pallas
+        use_fused_mp = False
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
-                        use_pallas=use_pallas, dtype=cfg.dtype, remat=remat)
+                        use_pallas=use_pallas, dtype=cfg.dtype, remat=remat,
+                        use_fused_mp=use_fused_mp)
     mesh = make_mesh(axes=("data",)) if data_parallel else None
     is_edos = task == "edos"
     trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
@@ -134,10 +142,12 @@ def run_training(
 
     loader = GraphLoader(train, batch_size=cfg.batch_size, shuffle=True,
                          seed=cfg.seed)
-    # eval at batch 1 like the reference (main_eDOS.py:55-56) — except under
-    # data parallelism, where batches must be divisible by the mesh; metrics
-    # are per-sample masked, so any eval batch size gives identical results
-    eval_bs = mesh.devices.size if mesh is not None else 1
+    # the reference evaluates at batch 1 (main_eDOS.py:55-56); our metrics are
+    # per-sample masked, so ANY eval batch size gives bit-identical results —
+    # use the training batch size (or the mesh size under DP) to cut the
+    # number of eval dispatches
+    eval_bs = (mesh.devices.size if mesh is not None
+               else max(1, cfg.batch_size))
     # pin eval shapes to the training buckets: one compiled shape per split
     eval_samples = list(valid) + list(test)
     a_pin = max([loader.atoms_per_graph] + [s.n_nodes for s in eval_samples])

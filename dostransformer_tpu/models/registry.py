@@ -55,6 +55,7 @@ def build_model(
     use_pallas: Optional[bool] = None,
     dtype: str = "float32",
     remat: bool = False,
+    use_fused_mp: Optional[bool] = None,
 ):
     """Instantiate a model by (task, embedder) name.
 
@@ -79,4 +80,6 @@ def build_model(
         kwargs["dtype"] = dtype
     if "remat" in cls.__dataclass_fields__:
         kwargs["remat"] = remat
+    if "use_fused_mp" in cls.__dataclass_fields__:
+        kwargs["use_fused_mp"] = use_fused_mp
     return cls(**kwargs)
