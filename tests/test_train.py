@@ -362,6 +362,21 @@ class TestDistributed:
             ltp.append(float(mtp["loss"]))
         np.testing.assert_allclose(l1, ltp, rtol=2e-4)
 
+    def test_scan_epoch_under_dp_tp_mesh(self, tiny_edos):
+        """The scan-compiled epoch must also run under the 2-D dp x tp mesh
+        (stacked batches shard P(None, 'data'); TP params stay sharded)."""
+        _, loader = tiny_edos
+        batches = list(loader)
+        mesh = make_mesh(shape=(2, 4), axes=("data", "model"))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False, use_fused_mp=False)
+        tr = Trainer(model, mesh=mesh)
+        state = tr.init_state(batches[0], seed=0)
+        state, losses = tr.train_epoch(state, batches)
+        assert np.isfinite(np.asarray(losses)).all()
+        fc1 = state.params["transformer"]["layer0"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
     def test_batch_leaves_sharded(self, tiny_edos):
         _, loader = tiny_edos
         batch = next(iter(loader))
