@@ -16,3 +16,11 @@ from dostransformer_tpu.ops.attention import (  # noqa: F401
     dot_product_attention,
     fused_attention,
 )
+from dostransformer_tpu.ops.segment import (  # noqa: F401
+    batched_segment_mean,
+    batched_segment_sum,
+)
+from dostransformer_tpu.ops.fused_mp import (  # noqa: F401
+    fused_mp_edge,
+    mp_edge_reference,
+)

@@ -8,3 +8,6 @@ from dostransformer_tpu.train.metrics import (  # noqa: F401
 )
 from dostransformer_tpu.train.trainer import Trainer, TrainState  # noqa: F401
 from dostransformer_tpu.train.early_stop import BestTracker  # noqa: F401
+from dostransformer_tpu.train.artifacts import EvalArtifacts  # noqa: F401
+from dostransformer_tpu.train.device_dataset import DeviceDataset  # noqa: F401
+from dostransformer_tpu.train.trainer import make_adamw, stack_batches  # noqa: F401
