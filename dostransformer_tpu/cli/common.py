@@ -26,7 +26,7 @@ from dostransformer_tpu.data.graph import GraphSample
 from dostransformer_tpu.models.registry import build_model
 from dostransformer_tpu.parallel.mesh import make_mesh
 from dostransformer_tpu.train.early_stop import BestTracker
-from dostransformer_tpu.train.logging import JSONLLogger
+from dostransformer_tpu.train.logging import JSONLLogger, write_experiment_result
 from dostransformer_tpu.train.metrics import MetricAccumulator
 from dostransformer_tpu.train.trainer import Trainer, make_adamw
 
@@ -122,13 +122,11 @@ def run_training(
         jax.config.update("jax_debug_nans", True)
     if x64:
         jax.config.update("jax_enable_x64", True)
+    # Pallas kernels run under data parallelism too: the DP train step is a
+    # shard_map over 'data', so each device's pallas_call sees its local
+    # batch shard (validated: tests/test_train.py
+    # test_dp_with_pallas_matches_single_device)
     use_fused_mp = None
-    if data_parallel:
-        # custom Pallas kernels under jit-partitioned (SPMD) execution are
-        # not yet validated on multi-chip meshes — use the XLA paths there
-        # (they partition cleanly); revisit once verified on a real pod
-        use_pallas = False if use_pallas is None else use_pallas
-        use_fused_mp = False
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
@@ -186,10 +184,6 @@ def run_training(
     # per-epoch shuffle keys derive from (seed, epoch): checkpoint resume
     # replays the exact same data order as an uninterrupted run
     shuffle_base = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
-    if mesh is not None:
-        # under DP the batch axis is sharded; the device-side permutation
-        # gather would cross shards — use the host loader there
-        host_loader = True
     if not host_loader:
         # device-resident pipeline: upload once, shuffle+batch on device
         from dostransformer_tpu.train.device_dataset import DeviceDataset
@@ -269,19 +263,24 @@ def run_training(
 
 def _write_results_line(task: str, cfg: TrainConfig, result: dict,
                         results_dir: str):
-    """Append-only experiments_{embedder}.txt, reference format
-    (main_eDOS.py:91,167-186)."""
+    """Append-only experiments_{embedder}.txt — the reference's EXACT block
+    format (main_eDOS.py:91,167-186), drop-in identical including the
+    "Early stop!!" line. samples/sec and the rest of the run record go to
+    the JSONL log instead."""
     os.makedirs(results_dir, exist_ok=True)
     path = os.path.join(results_dir, f"experiments_{cfg.embedder}.txt")
     tm = result.get("test") or {}
-    with open(path, "a") as f:
-        f.write(f"{exp_get_name(cfg)}\n")
-        f.write(
-            "best epoch: {} | test rmse: {:.4f} | test mse: {:.4f} | "
-            "test mae: {:.4f} | test r2: {:.4f} | samples/sec: {:.2f}\n".format(
-                result["best_epoch"], tm.get("rmse", float("nan")),
-                tm.get("mse", float("nan")), tm.get("mae", float("nan")),
-                tm.get("r2", float("nan")), result["samples_per_sec"]))
+    nan = float("nan")
+    write_experiment_result(
+        path,
+        configuration=exp_get_name(cfg),
+        best_epoch=result["best_epoch"],
+        test_rmse=tm.get("rmse", nan),
+        test_mse=tm.get("mse", nan),
+        test_mae=tm.get("mae", nan),
+        test_r2=tm.get("r2", nan),
+        early_stopped=result["stopped_early"],
+    )
 
 
 def resolve_device_info() -> str:

@@ -30,6 +30,31 @@ def per_sample_rmse(pred: jax.Array, y: jax.Array, eps: float = 0.0) -> jax.Arra
     return jnp.sqrt(mse + eps)
 
 
+def dos_loss_parts(
+    preds_global: jax.Array,
+    preds_system: jax.Array | None,
+    y: jax.Array,
+    graph_mask: jax.Array,
+    clamp_targets: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Unnormalized masked sums (sum_rmse_global, sum_rmse_system, count).
+
+    The building block for data-parallel loss under shard_map: each device
+    computes local sums, psums them, and divides by the global count — exact
+    batch-mean semantics at any sharding. preds_system=None (single-head
+    baselines) returns sum_g for both heads.
+    """
+    if clamp_targets:
+        y = clamp_negative(y)
+    m = graph_mask.astype(y.dtype)
+    count = m.sum()
+    sum_g = (per_sample_rmse(preds_global, y) * m).sum()
+    if preds_system is None:
+        return sum_g, sum_g, count
+    sum_s = (per_sample_rmse(preds_system, y) * m).sum()
+    return sum_g, sum_s, count
+
+
 def dos_loss(
     preds_global: jax.Array,
     preds_system: jax.Array | None,
@@ -43,13 +68,12 @@ def dos_loss(
     preds_system=None covers the single-head baseline models (graphnetwork/mlp
     families return one DOS tensor): loss = mean_b rmse only.
     """
-    if clamp_targets:
-        y = clamp_negative(y)
-    m = graph_mask.astype(y.dtype)
-    denom = jnp.maximum(m.sum(), 1.0)
-    rmse_g = (per_sample_rmse(preds_global, y) * m).sum() / denom
+    sum_g, sum_s, count = dos_loss_parts(preds_global, preds_system, y,
+                                         graph_mask, clamp_targets)
+    denom = jnp.maximum(count, 1.0)
+    rmse_g = sum_g / denom
+    rmse_s = sum_s / denom
     if preds_system is None:
-        return rmse_g, {"rmse_global": rmse_g, "rmse_system": rmse_g}
-    rmse_s = (per_sample_rmse(preds_system, y) * m).sum() / denom
+        return rmse_g, {"rmse_global": rmse_g, "rmse_system": rmse_s}
     loss = rmse_g + beta * rmse_s
     return loss, {"rmse_global": rmse_g, "rmse_system": rmse_s}

@@ -6,10 +6,13 @@ eager single-device PyTorch). Design:
   * one `TrainState` pytree (params, optax AdamW state, step, PRNG key);
   * the train step is `jit`-compiled once per batch shape with donated state;
   * data parallelism: every GraphBatch leaf is batch-leading ([B, ...]) and
-    sharded over the mesh's 'data' axis with a NamedSharding; params are
-    replicated. XLA inserts the gradient all-reduce over ICI automatically —
-    no explicit collectives (How-to-Scale recipe: pick a mesh, annotate
-    shardings, let XLA insert collectives).
+    sharded over the mesh's 'data' axis. The DP train step is a shard_map:
+    each device runs the model on its LOCAL shard (so Pallas kernels see
+    per-device shapes — the pod-ready layout), computes unnormalized masked
+    loss sums + grads, and explicit psums over ICI reassemble the exact
+    global batch-mean loss/gradient; params/optimizer state stay replicated.
+    The 2-D dp x tp mesh keeps the auto-SPMD jit path (XLA derives the
+    Megatron collectives from the param shardings).
   * AdamW matches torch semantics (decoupled weight decay applied to ALL
     parameters, betas (0.9, 0.999), eps 1e-8; reference main_eDOS.py:93).
 """
@@ -25,7 +28,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dostransformer_tpu.data.graph import GraphBatch
-from dostransformer_tpu.train.loss import dos_loss
+from dostransformer_tpu.train.loss import dos_loss, dos_loss_parts
 from dostransformer_tpu.train.metrics import eval_metrics
 
 
@@ -218,17 +221,85 @@ class Trainer:
 
         donate = (0,) if self._donate else ()
         if self.mesh is not None and not self._has_tp:
-            # pure DP: pin state replicated (params/opt-state identical on
-            # every device; XLA derives the gradient all-reduce)
-            repl = NamedSharding(self.mesh, P())
-            self._train_step = jax.jit(train_step, donate_argnums=donate,
-                                       out_shardings=(repl, repl))
-            self._train_epoch = jax.jit(train_epoch, donate_argnums=donate,
-                                        out_shardings=(repl, repl))
+            # pure DP: shard_map over 'data'. Each device runs the model on
+            # its LOCAL batch shard (so custom Pallas kernels see per-device
+            # shapes — the pod-ready layout), computes UNNORMALIZED masked
+            # loss sums and their grads, then explicit psums over 'data'
+            # reassemble the exact global batch-mean loss and gradient.
+            # Params/optimizer state stay replicated (P()); the AdamW update
+            # runs identically on every device.
+            mesh, axis = self.mesh, "data"
+
+            def local_loss_parts(params, batch: GraphBatch, rng):
+                deterministic = getattr(model, "attn_drop", 0.0) == 0.0
+                kwargs = {}
+                if not deterministic:
+                    kwargs["rngs"] = {"dropout": rng}
+                dg, _, ds = normalize_outputs(
+                    model.apply({"params": params}, batch,
+                                deterministic=deterministic, **kwargs))
+                sum_g, sum_s, count = dos_loss_parts(
+                    dg, ds, batch.y, batch.graph_mask, clamp_targets)
+                local = sum_g if ds is None else sum_g + beta * sum_s
+                return local, (sum_g, sum_s, count)
+
+            def dp_train_step(state: TrainState, batch: GraphBatch):
+                rng, sub = jax.random.split(state.rng)
+                (local, (sg, ss, cnt)), grads = jax.value_and_grad(
+                    local_loss_parts, has_aux=True)(state.params, batch, sub)
+                denom = jnp.maximum(jax.lax.psum(cnt, axis), 1.0)
+                grads = jax.tree.map(lambda g: g / denom,
+                                     jax.lax.psum(grads, axis))
+                loss = jax.lax.psum(local, axis) / denom
+                rmse_g = jax.lax.psum(sg, axis) / denom
+                rmse_s = jax.lax.psum(ss, axis) / denom
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(step=state.step + 1, params=params,
+                                          opt_state=opt_state, rng=rng)
+                return new_state, {"loss": loss, "rmse_global": rmse_g,
+                                   "rmse_system": rmse_s}
+
+            def dp_train_epoch(state: TrainState, stacked: GraphBatch):
+                def body(st, b):
+                    st, metrics = dp_train_step(st, b)
+                    return st, metrics["loss"]
+
+                return jax.lax.scan(body, state, stacked)
+
+            def dp_train_epoch_device(state: TrainState, data, perm):
+                # data replicated, perm sharded over 'data': each device
+                # gathers its own local slice of every batch
+                def body(st, idx):
+                    b = jax.tree.map(lambda x: x[idx], data)
+                    st, metrics = dp_train_step(st, b)
+                    return st, metrics["loss"]
+
+                return jax.lax.scan(body, state, perm)
+
+            # check_vma=False: pallas_call inside shard_map does not carry
+            # varying-mesh-axes metadata; replication of the outputs is
+            # guaranteed by the explicit psums above
+            self._train_step = jax.jit(
+                jax.shard_map(dp_train_step, mesh=mesh,
+                              in_specs=(P(), P(axis)),
+                              out_specs=(P(), P()), check_vma=False),
+                donate_argnums=donate)
+            self._train_epoch = jax.jit(
+                jax.shard_map(dp_train_epoch, mesh=mesh,
+                              in_specs=(P(), P(None, axis)),
+                              out_specs=(P(), P()), check_vma=False),
+                donate_argnums=donate)
             self._train_epoch_device = jax.jit(
-                train_epoch_device, donate_argnums=donate,
-                out_shardings=(repl, repl))
-            self._eval_step = jax.jit(eval_step)
+                jax.shard_map(dp_train_epoch_device, mesh=mesh,
+                              in_specs=(P(), P(), P(None, axis)),
+                              out_specs=(P(), P()), check_vma=False),
+                donate_argnums=donate)
+            self._eval_step = jax.jit(
+                jax.shard_map(eval_step, mesh=mesh,
+                              in_specs=(P(), P(axis)),
+                              out_specs=P(axis), check_vma=False))
         else:
             # single device, or dp x tp: state shardings propagate from the
             # input placement (init_state puts params in the Megatron layout)
@@ -260,7 +331,10 @@ class Trainer:
         perm = jax.random.permutation(sub, dataset.num_samples)
         s, b = dataset.steps_per_epoch, dataset.batch_size
         perm = perm[: s * b].reshape(s, b)
-        state, losses = self._train_epoch_device(state, dataset.data, perm)
+        # under DP the dataset replicates once (device_put is a no-op when
+        # already placed); each device gathers its own shard of every batch
+        data = self.replicate(dataset.data)
+        state, losses = self._train_epoch_device(state, data, perm)
         return state, losses, rng
 
     def train_epoch(self, state: TrainState, batches):

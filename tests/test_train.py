@@ -377,6 +377,55 @@ class TestDistributed:
         fc1 = state.params["transformer"]["layer0"]["fc1"]["kernel"]
         assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
 
+    def test_dp_with_pallas_matches_single_device(self, tiny_edos):
+        """Pallas kernels under the DP shard_map path (VERDICT round 1 #2):
+        fused attention + fused message passing must produce the same loss
+        trajectory as the single-device run. Under shard_map each device's
+        pallas_call sees the local batch shard — the layout a real pod uses
+        (interpret mode on the CPU mesh stands in for the TPU lowering)."""
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=128,
+                                   use_pallas=True, use_fused_mp=True)
+
+        tr1 = Trainer(model, donate=False)
+        s1 = tr1.init_state(batch, seed=0)
+        mesh = make_mesh(axes=("data",))
+        tr8 = Trainer(model, mesh=mesh, donate=False)
+        s8 = tr8.init_state(batch, seed=0)
+
+        losses1, losses8 = [], []
+        for _ in range(3):
+            s1, m1 = tr1.train_step(s1, batch)
+            s8, m8 = tr8.train_step(s8, batch)
+            losses1.append(float(m1["loss"]))
+            losses8.append(float(m8["loss"]))
+        np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+
+    def test_device_epoch_under_dp(self, tiny_edos):
+        """Device-resident epochs under the DP mesh: dataset replicated, the
+        permutation sharded over 'data' — each device gathers its own local
+        slice of every batch. Losses must match the single-device device
+        pipeline given the same epoch rng."""
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(16, seed=0)
+        dds = DeviceDataset.from_samples(samples, batch_size=8)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+        batch0 = next(iter(GraphLoader(samples[:8], batch_size=8)))
+
+        tr1 = Trainer(model, donate=False)
+        s1 = tr1.init_state(batch0, seed=0)
+        s1, losses1, _ = tr1.train_epoch_device(s1, dds, jax.random.PRNGKey(3))
+
+        mesh = make_mesh(axes=("data",))
+        tr8 = Trainer(model, mesh=mesh, donate=False)
+        s8 = tr8.init_state(batch0, seed=0)
+        s8, losses8, _ = tr8.train_epoch_device(s8, dds, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses8),
+                                   rtol=2e-4)
+
     def test_batch_leaves_sharded(self, tiny_edos):
         _, loader = tiny_edos
         batch = next(iter(loader))
