@@ -48,17 +48,37 @@ def standardize_columns(x: np.ndarray) -> np.ndarray:
 def load_elem_feats(path_elem_embs: Optional[str] = None) -> np.ndarray:
     """Element feature table, row order Z-1 (mat2graph.py:33-47).
 
-    With a path: matscholar-embedding.json -> [100, 200] standardized.
-    Without (reference fallback, mat2graph.py:36-38): 8 mendeleev features +
-    1st ionization energy -> [100, 9] standardized — requires the mendeleev
-    package (offline-only dependency, exactly like the reference)."""
+    Default (no path): the bundled matscholar table
+    (``matscholar_embedding.npz``, public third-party data from the
+    matscholar project — the reference ships the same table as
+    data/matscholar-embedding.json) -> [100, 200] standardized. The eDOS
+    featurizer therefore runs with zero user-supplied files.
+
+    With a path: a matscholar-format JSON ({symbol: [200 floats]}).
+    ``path_elem_embs="mendeleev"`` selects the reference's no-JSON fallback
+    (mat2graph.py:36-38): 8 mendeleev features + 1st ionization energy ->
+    [100, 9] standardized — requires the mendeleev package (offline-only
+    dependency, exactly like the reference)."""
     if path_elem_embs is None:
+        rows = load_matscholar_table()
+    elif path_elem_embs == "mendeleev":
         return get_mendeleev_feats()
-    with open(path_elem_embs) as f:
-        embs = json.load(f)
-    rows = [np.asarray(embs[SYMBOLS[z]], np.float64)
-            for z in range(N_MATSCHOLAR_ELEMENTS)]
-    return standardize_columns(np.vstack(rows))
+    else:
+        with open(path_elem_embs) as f:
+            embs = json.load(f)
+        rows = np.vstack([np.asarray(embs[SYMBOLS[z]], np.float64)
+                          for z in range(N_MATSCHOLAR_ELEMENTS)])
+    return standardize_columns(rows)
+
+
+def load_matscholar_table() -> np.ndarray:
+    """Raw (unstandardized) bundled matscholar embeddings, [100, 200] f64,
+    row order Z-1 for Z=1..100."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "matscholar_embedding.npz")
+    with np.load(path) as npz:
+        return np.asarray(npz["embeddings"], np.float64)
 
 
 def get_mendeleev_feats() -> np.ndarray:
@@ -157,7 +177,7 @@ def load_dataset(
     mp_data: dict,
     dos_data: dict,
     original_dataset_mp_id: Sequence[str],
-    path_elem_embs: str,
+    path_elem_embs: Optional[str] = None,
     radius: float = 8.0,
 ) -> List[GraphSample]:
     """mp.pkl/dos.pkl-shaped dicts -> GraphSamples (mat2graph.py:69-117)."""
@@ -194,8 +214,9 @@ def main(argv=None):
     p.add_argument("mp_pkl")
     p.add_argument("dos_pkl")
     p.add_argument("out", help="output .npz path")
-    p.add_argument("--elem_embs", required=True,
-                   help="path to matscholar-embedding.json")
+    p.add_argument("--elem_embs", default=None,
+                   help="path to a matscholar-embedding.json (default: the "
+                        "bundled matscholar table)")
     p.add_argument("--radius", type=float, default=8.0)
     args = p.parse_args(argv)
     with open(args.mp_pkl, "rb") as f:

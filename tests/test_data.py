@@ -220,3 +220,70 @@ class TestSplitsAndLoader:
         samples = synthetic_edos_samples(2, seed=0)
         with pytest.raises(AssertionError):
             collate(samples, atoms_per_graph=1)
+
+
+class TestMatscholarTable:
+    """The bundled element-embedding table (public matscholar data; the
+    reference ships the identical table as data/matscholar-embedding.json,
+    loaded at mat2graph.py:33-47)."""
+
+    # raw values transcribed BY HAND from the public matscholar JSON —
+    # independent of the loader/converter code paths
+    RAW_GOLDENS = {
+        ("H", 1, 0): 0.016640299931168556,
+        ("O", 8, 3): 0.005574800539761782,
+        ("Si", 14, 100): 0.1019131988286972,
+        ("Fe", 26, 199): -0.0329613983631134,
+        ("Fm", 100, 50): 0.09603229910135269,
+    }
+
+    def test_bundled_raw_table_matches_source_literals(self):
+        from dostransformer_tpu.data.featurize_edos import load_matscholar_table
+
+        raw = load_matscholar_table()
+        assert raw.shape == (100, 200)
+        for (_, z, col), want in self.RAW_GOLDENS.items():
+            np.testing.assert_allclose(raw[z - 1, col], want, rtol=0)
+
+    def test_load_elem_feats_standardization(self):
+        from dostransformer_tpu.data.featurize_edos import (
+            load_elem_feats,
+            load_matscholar_table,
+        )
+
+        feats = load_elem_feats()
+        assert feats.shape == (100, 200)
+        # sklearn.preprocessing.scale semantics (mat2graph.py:47): per-column
+        # zero mean, unit population std
+        np.testing.assert_allclose(feats.mean(0), 0.0, atol=1e-12)
+        np.testing.assert_allclose(feats.std(0), 1.0, atol=1e-12)
+        # spot-check the formula against a hand-transcribed raw literal
+        raw = load_matscholar_table()
+        col = 100
+        want = ((self.RAW_GOLDENS[("Si", 14, 100)] - raw[:, col].mean())
+                / raw[:, col].std())
+        np.testing.assert_allclose(feats[13, col], want, rtol=1e-12)
+
+    def test_build_sample_zero_config(self):
+        """eDOS featurization end-to-end with zero user-supplied files: node
+        features are the standardized table rows plus the all-zero prompt
+        node (mat2graph.py:155-158)."""
+        from dostransformer_tpu.data.featurize_edos import (
+            build_sample,
+            load_elem_feats,
+        )
+
+        feats = load_elem_feats()
+        numbers = [14, 8, 8]  # SiO2-ish fixture
+        coords = np.array([[0.0, 0, 0], [1.2, 1.2, 0], [2.4, 0, 1.2]])
+        lattice = np.eye(3) * 4.8
+        s = build_sample(feats, numbers, coords, lattice,
+                         y=np.linspace(0.1, 1.0, 201),
+                         y_ft=np.linspace(0.2, 2.0, 201),
+                         glob=[-1.0, -2.0], crystal_system="cubic")
+        assert s.x.shape == (4, 200)  # 3 atoms + prompt node
+        for i, z in enumerate(numbers):
+            np.testing.assert_allclose(s.x[i], feats[z - 1].astype(np.float32))
+        np.testing.assert_array_equal(s.x[3], 0.0)
+        assert s.edge_index.shape == (2, 36)  # 12-NN per atom, prompt node none
+        assert s.system == 0  # 'cubic' id (config.crystal_system_id)
