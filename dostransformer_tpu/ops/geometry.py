@@ -37,8 +37,21 @@ def spherical_harmonics_l1(edge_vec: jax.Array, eps: float = 1e-12) -> jax.Array
     o3.spherical_harmonics(o3.Irreps.spherical_harmonics(1), edge_vec, True,
     normalization='component') at reference DOSTransformer_phonon.py:75.
 
-    Output [E, 4] in e3nn's m-ordering: [Y_00, Y_1,-1, Y_1,0, Y_1,1]
-    = [1, sqrt(3)*y/r, sqrt(3)*z/r, sqrt(3)*x/r].
+    Output [E, 4] = [1, sqrt(3)*x/r, sqrt(3)*y/r, sqrt(3)*z/r] — the l=1
+    block is the normalized input in ITS OWN component order. e3nn's
+    generated polynomials (e3nn/o3/_spherical_harmonics.py) are
+    sh_1_0 = sqrt(3)*x, sh_1_1 = sqrt(3)*y, sh_1_2 = sqrt(3)*z, evaluated on
+    the input components in order; e3nn's y-up axis convention is chosen
+    precisely so that Y^1 is the identity on (x, y, z). Cross-check: the l=2
+    terms sqrt(15)*x*z, sqrt(15)*x*y, ... are the physics-convention
+    polynomials xy, yz, ... under the cyclic axis map
+    (x,y,z)_phys -> (z,x,y)_e3nn, which maps Y^1_phys = (y,z,x)_phys to the
+    identity. NOTE: a column permutation here is absorbed by the first
+    edge-MLP linear layer, so training-from-scratch behavior is unaffected
+    either way; the order matters only for activation-level parity.
+
+    'component' normalization: |Y^l|^2 = 2l+1 on the unit sphere
+    (Y^0 = 1, Y^1 = sqrt(3)*unit).
 
     Zero-length vectors (padding rows, self-loops with zero shift) produce
     [1, 0, 0, 0] — e3nn normalizes 0/0 to 0 as well.
@@ -47,8 +60,7 @@ def spherical_harmonics_l1(edge_vec: jax.Array, eps: float = 1e-12) -> jax.Array
     unit = edge_vec / jnp.maximum(r, eps)
     sqrt3 = jnp.sqrt(jnp.asarray(3.0, edge_vec.dtype))
     y00 = jnp.ones_like(r)
-    y1 = sqrt3 * unit[..., (1, 2, 0)]  # (y, z, x) m-order
-    return jnp.concatenate([y00, y1], axis=-1)
+    return jnp.concatenate([y00, sqrt3 * unit], axis=-1)
 
 
 def edge_geometry_phdos(edge_vec: jax.Array, r_max: float = 4.0) -> jax.Array:

@@ -106,11 +106,11 @@ def transformer_encoder(p, x_in, x_k_in=None, x_v_in=None, n_layers=2):
 
 
 def sh_l1_component(vec):
-    """e3nn SH l<=1, normalize=True, 'component': [1, sqrt(3)(y,z,x)/r]."""
+    """e3nn SH l<=1, normalize=True, 'component': [1, sqrt(3)*(x,y,z)/r]
+    (e3nn's generated sh_1_* polynomials are the identity on the input
+    components — see ops/geometry.spherical_harmonics_l1)."""
     r = vec.norm(dim=-1, keepdim=True).clamp(min=1e-12)
-    u = vec / r
-    return torch.cat([torch.ones_like(r),
-                      np.sqrt(3.0) * u[:, (1, 2, 0)]], dim=-1)
+    return torch.cat([torch.ones_like(r), np.sqrt(3.0) * vec / r], dim=-1)
 
 
 def smooth_cutoff(x):

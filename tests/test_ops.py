@@ -94,23 +94,54 @@ class TestAttention:
 
 
 class TestGeometry:
-    def test_smooth_cutoff_regions(self):
-        # u = 2(x-1): 1 for x<0.5; ramp on [0.5, 1]; 0 for x>1
-        x = jnp.array([0.0, 0.25, 0.5, 0.75, 1.0, 1.5])
-        y = np.asarray(smooth_cutoff(x))
-        np.testing.assert_allclose(y[:3], [1.0, 1.0, 1.0], atol=1e-7)
-        np.testing.assert_allclose(y[3], 0.5, atol=1e-7)  # midpoint of cos ramp
-        np.testing.assert_allclose(y[4:], [0.0, 0.0], atol=1e-7)
+    # --- transcribed e3nn goldens ------------------------------------------
+    # e3nn itself is not installable in this environment (no installs; see
+    # BASELINE.md); these literals are hand-evaluated from e3nn's PUBLISHED
+    # generated polynomials (e3nn/o3/_spherical_harmonics.py:
+    # sh_1_0 = sqrt(3)*x, sh_1_1 = sqrt(3)*y, sh_1_2 = sqrt(3)*z, components
+    # in input order) and gate_points_2101.smooth_cutoff
+    # (u = 2(x-1); (1-cos(pi u))/2 on -1<=u<=0; clamped 1 below, 0 above) —
+    # independent of any code shared with the implementation or the oracle.
+    SMOOTH_CUTOFF_GOLDENS = [
+        (0.0, 1.0),
+        (0.25, 1.0),
+        (0.4999, 1.0),                     # u just below -1
+        (0.625, 0.8535533905932737),       # (1 + sqrt(2)/2) / 2
+        (0.75, 0.5),
+        (0.875, 0.14644660940672627),      # (1 - sqrt(2)/2) / 2
+        (1.0, 0.0),
+        (1.5, 0.0),
+    ]
+    # (input vector, expected [Y00, sqrt(3)x/r, sqrt(3)y/r, sqrt(3)z/r])
+    _S3 = 1.7320508075688772  # sqrt(3)
+    SH_GOLDENS = [
+        ((1.0, 0.0, 0.0), (1.0, _S3, 0.0, 0.0)),
+        ((0.0, 2.0, 0.0), (1.0, 0.0, _S3, 0.0)),   # normalize=True: scale-free
+        ((0.0, 0.0, 0.5), (1.0, 0.0, 0.0, _S3)),
+        ((-1.0, 0.0, 0.0), (1.0, -_S3, 0.0, 0.0)),
+        # (2,-3,6)/7 exactly: sqrt(3) * (2/7, -3/7, 6/7)
+        ((2.0, -3.0, 6.0), (1.0, 0.4948716593053935, -0.7423074889580903,
+                            1.4846149779161806)),
+        # (1,1,1)/sqrt(3): sqrt(3)/sqrt(3) = 1 per component
+        ((1.0, 1.0, 1.0), (1.0, 1.0, 1.0, 1.0)),
+        # (3,4,0)/5
+        ((3.0, 4.0, 0.0), (1.0, 1.0392304845413263, 1.3856406460551018, 0.0)),
+        ((0.0, -0.6, 0.8), (1.0, 0.0, -1.0392304845413263,
+                            1.3856406460551018)),
+    ]
 
-    def test_sh_l1_component_norm(self):
-        # golden values for unit axes under e3nn component normalization
-        v = jnp.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 0.5]])
-        sh = np.asarray(spherical_harmonics_l1(v))
-        s3 = np.sqrt(3.0)
-        np.testing.assert_allclose(sh[0], [1, 0, 0, s3], atol=1e-6)  # +x -> m=+1
-        np.testing.assert_allclose(sh[1], [1, s3, 0, 0], atol=1e-6)  # +y -> m=-1
-        np.testing.assert_allclose(sh[2], [1, 0, s3, 0], atol=1e-6)  # +z -> m=0
-        # component normalization: |Y_l|^2 sums to 2l+1 for any unit vector
+    def test_smooth_cutoff_goldens(self):
+        x = jnp.array([g[0] for g in self.SMOOTH_CUTOFF_GOLDENS])
+        want = np.array([g[1] for g in self.SMOOTH_CUTOFF_GOLDENS])
+        np.testing.assert_allclose(np.asarray(smooth_cutoff(x)), want,
+                                   atol=1e-6)
+
+    def test_sh_l1_component_goldens(self):
+        v = jnp.array([g[0] for g in self.SH_GOLDENS])
+        want = np.array([g[1] for g in self.SH_GOLDENS])
+        np.testing.assert_allclose(np.asarray(spherical_harmonics_l1(v)),
+                                   want, atol=1e-6)
+        # component normalization identity: sum_m Y_1m^2 = 3 on any unit vec
         u = jnp.array([[0.3, -0.4, 0.87]])
         shu = np.asarray(spherical_harmonics_l1(u / jnp.linalg.norm(u)))
         np.testing.assert_allclose((shu[0, 1:] ** 2).sum(), 3.0, rtol=1e-5)
