@@ -1,7 +1,6 @@
 """Metrics logging: structured JSONL + the reference's append-only
-experiments_{embedder}.txt format (main_eDOS.py:91,167-186) for drop-in
-compatibility, plus optional jax.profiler tracing.
-"""
+experiments_{embedder}.txt block format (main_eDOS.py:91,167-186) for drop-in
+compatibility (wired into cli.common.run_training)."""
 
 from __future__ import annotations
 
@@ -9,8 +8,6 @@ import json
 import os
 import time
 from typing import Optional
-
-import jax
 
 
 class JSONLLogger:
@@ -55,33 +52,3 @@ def write_experiment_result(
         f.write("best MSE : {:.4f} \n".format(test_mse))
         f.write("best MAE : {:.4f} \n".format(test_mae))
         f.write("best R2 : {:.4f} \n".format(test_r2))
-
-
-class StepTimer:
-    """Per-step timing -> samples/sec (the BASELINE.json metric); optional
-    jax.profiler trace dump for Perfetto."""
-
-    def __init__(self, trace_dir: Optional[str] = None):
-        self.trace_dir = trace_dir
-        self._t0 = None
-        self.steps = 0
-        self.samples = 0
-        self.elapsed = 0.0
-
-    def start(self):
-        self._t0 = time.perf_counter()
-
-    def stop(self, n_samples: int):
-        self.elapsed += time.perf_counter() - self._t0
-        self.steps += 1
-        self.samples += n_samples
-
-    @property
-    def samples_per_sec(self) -> float:
-        return self.samples / self.elapsed if self.elapsed > 0 else 0.0
-
-    def trace(self):
-        if self.trace_dir:
-            return jax.profiler.trace(self.trace_dir)
-        import contextlib
-        return contextlib.nullcontext()

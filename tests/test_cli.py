@@ -21,11 +21,24 @@ class TestCLI:
         result = main_phdos.main(_common_flags(tmp_path))
         assert result["test"] is not None
         assert np.isfinite(result["test"]["rmse"])
-        # experiments_{embedder}.txt written in the reference's format
+        # experiments_{embedder}.txt: byte-exact reference block format
+        # (main_eDOS.py:167-186)
         txt = tmp_path / "experiments_DOSTransformer.txt"
         assert txt.exists()
         content = txt.read_text()
-        assert "test rmse" in content and "embedder(DOSTransformer)" in content
+        tm = result["test"]
+        want = (
+            "\n"
+            + ("Early stop!!\n" if result["stopped_early"] else "")
+            + "seed(0)_beta(1.0)_attn_drop(0.0)_transformer(1)_layers(2)_"
+              "embedder(DOSTransformer)_lr(0.0001)_batch_size(4)_hidden(32)_"
+              "random_state(0)_dataset(whole)_"
+            + "\nbest epoch : {} \n".format(result["best_epoch"])
+            + "best RMSE : {:.4f} \n".format(tm["rmse"])
+            + "best MSE : {:.4f} \n".format(tm["mse"])
+            + "best MAE : {:.4f} \n".format(tm["mae"])
+            + "best R2 : {:.4f} \n".format(tm["r2"]))
+        assert content == want
 
     def test_edos_with_artifact_export(self, tmp_path):
         preds = tmp_path / "preds.npz"
