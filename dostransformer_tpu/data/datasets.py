@@ -74,7 +74,16 @@ def element_balanced_split(species_per_sample: Sequence[Sequence[str]],
     """Element-balanced train/valid/test split (utils.py:176-194): for each
     element sorted by sample count ascending, split its sample indices with
     sklearn train_test_split, adding only indices not already assigned;
-    leftovers go to train."""
+    leftovers go to train.
+
+    Order-exact with the reference (differential-tested against a transcribed
+    pandas oracle, tests/test_data.py): the reference sorts elements with
+    pandas ``sort_values('count')`` whose default unstable quicksort breaks
+    count ties in numpy-introsort order, NOT alphabetically — replicated here
+    via ``np.argsort(counts, kind='quicksort')`` over the alphabetical
+    species table (utils.py:222). Membership order within an element follows
+    the universe order (sample ascending at level 1, dev-list order at
+    level 2 — utils.py:185 ``df.iloc[idx_dev]``)."""
     species = sorted({sp for row in species_per_sample for sp in row})
     all_idx = list(range(len(species_per_sample)))
 
@@ -83,11 +92,13 @@ def element_balanced_split(species_per_sample: Sequence[Sequence[str]],
         for sp in species:
             members = [i for i in universe if sp in species_per_sample[i]]
             if members:
-                stats.append((len(members), sp, members))
-        stats.sort(key=lambda t: t[0])
+                stats.append(members)
+        counts = np.array([len(m) for m in stats])
+        order = np.argsort(counts, kind="quicksort")  # pandas sort_values
         idx_train: List[int] = []
         idx_test: List[int] = []
-        for _, _, members in stats:
+        for j in order:
+            members = stats[j]
             try:
                 tr, te = train_test_split(members, test_size=frac, random_state=seed)
             except ValueError:

@@ -287,3 +287,76 @@ class TestMatscholarTable:
         np.testing.assert_array_equal(s.x[3], 0.0)
         assert s.edge_index.shape == (2, 36)  # 12-NN per atom, prompt node none
         assert s.system == 0  # 'cubic' id (config.crystal_system_id)
+
+
+class TestElementBalancedSplitDifferential:
+    """Order-exact differential test of element_balanced_split against a
+    transcription of the reference algorithm (utils.py:176-245), including
+    pandas sort_values' unstable-quicksort tie order and the assigned-set
+    dedup semantics."""
+
+    @staticmethod
+    def _ref_stats(df, species):
+        import pandas as pd
+
+        species_dict = {k: [] for k in species}
+        for entry in df.itertuples():
+            for specie in entry.species:
+                species_dict[specie].append(entry.Index)
+        stats = pd.DataFrame({"symbol": species})
+        stats["data"] = stats["symbol"].astype("object")
+        for specie in species:
+            stats.at[stats.index[stats["symbol"] == specie].values[0],
+                     "data"] = species_dict[specie]
+        stats["count"] = stats["data"].apply(len)
+        return stats
+
+    @classmethod
+    def _ref_split_data(cls, df, test_size, seed):
+        from sklearn.model_selection import train_test_split
+
+        idx_train, idx_test = [], []
+        df = df[df["data"].str.len() > 0]
+        df = df.sort_values("count")
+        for _, entry in df.iterrows():
+            df_specie = entry.to_frame().T.explode("data")
+            try:
+                tr_s, te_s = train_test_split(
+                    df_specie["data"].values, test_size=test_size,
+                    random_state=seed)
+            except Exception:
+                pass
+            else:
+                idx_train += [k for k in tr_s
+                              if k not in idx_train + idx_test]
+                idx_test += [k for k in te_s
+                             if k not in idx_train + idx_test]
+        return idx_train, idx_test
+
+    @classmethod
+    def _ref_split(cls, df, species, valid_size, test_size, seed=12):
+        dev_size = valid_size + test_size
+        stats = cls._ref_stats(df, species)
+        idx_train, idx_dev = cls._ref_split_data(stats, dev_size, seed)
+        stats_dev = cls._ref_stats(df.iloc[idx_dev], species)
+        idx_valid, idx_test = cls._ref_split_data(
+            stats_dev, test_size / dev_size, seed)
+        idx_train += df[~df.index.isin(
+            idx_train + idx_valid + idx_test)].index.tolist()
+        return idx_train, idx_valid, idx_test
+
+    @pytest.mark.parametrize("fixture_seed,n", [(3, 50), (7, 64), (11, 41)])
+    def test_exact_index_lists(self, fixture_seed, n):
+        import pandas as pd
+
+        rng = np.random.RandomState(fixture_seed)
+        elements = ["H", "O", "Si", "Fe", "Al", "Ga", "N", "C"]
+        rows = [sorted(rng.choice(elements, size=rng.randint(1, 4),
+                                  replace=False).tolist())
+                for _ in range(n)]
+        df = pd.DataFrame({"species": rows})
+        species = sorted({s for row in rows for s in row})
+        want = self._ref_split(df, species, 0.1, 0.1, seed=12)
+        got = element_balanced_split(rows, 0.1, 0.1, seed=12)
+        for w, g in zip(want, got):
+            assert list(w) == list(g)
