@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     samples = make_task(args.samples)
@@ -68,7 +70,8 @@ def main(argv=None):
                           atoms_per_graph=loader.atoms_per_graph,
                           edges_per_graph=loader.edges_per_graph)
 
-    model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=args.hidden)
+    model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=args.hidden,
+                               dtype=args.dtype)
     trainer = Trainer(model, tx=make_adamw(1e-4))
     state = trainer.init_state(next(iter(loader)), seed=0)
     rng = jax.random.PRNGKey(0)
@@ -86,6 +89,8 @@ def main(argv=None):
                   f"{r['rmse']:.4f} r2 {r['r2']:.4f} | mean-predictor "
                   f"baseline {baseline:.4f} | {time.perf_counter() - t0:.0f}s",
                   flush=True)
+    return {"rmse": r["rmse"], "r2": r["r2"], "baseline": baseline,
+            "train_loss": float(np.asarray(losses).mean())}
 
 
 if __name__ == "__main__":

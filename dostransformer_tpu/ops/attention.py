@@ -91,9 +91,14 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
     b, lq, d = q.shape
     lk = k.shape[1]
     scale = d ** -0.5
-    # f32 inputs use exact (HIGHEST) MXU passes for torch parity; bf16 inputs
-    # ride the MXU natively.
-    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+    # Match the rest of the model: single-pass bf16 MXU (DEFAULT) — the same
+    # precision every Linear/einsum in the model (and this kernel's OWN
+    # backward) already uses on TPU. Golden parity runs on CPU where matmuls
+    # are true f32 regardless; end-to-end f32-vs-bf16 accuracy is validated
+    # by benchmarks/convergence_demo.py (BASELINE.md). Set
+    # DOSTPU_ATTN_HIGHEST=1 to force 6-pass exact-f32 passes for debugging.
+    precision = (jax.lax.Precision.HIGHEST
+                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
                  else jax.lax.Precision.DEFAULT)
 
     lq_pad = _round_up(lq, 8)

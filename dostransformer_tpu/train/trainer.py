@@ -50,10 +50,19 @@ class TrainState(struct.PyTreeNode):
                    opt_state=tx.init(params), rng=rng)
 
 
-def make_adamw(lr: float = 1e-4, weight_decay: float = 1e-2) -> optax.GradientTransformation:
+def make_adamw(lr: float = 1e-4, weight_decay: float = 1e-2,
+               mu_dtype=jnp.bfloat16) -> optax.GradientTransformation:
     """torch.optim.AdamW(lr, weight_decay=1e-2) semantics (main_eDOS.py:93):
-    decoupled decay on all parameters, betas (0.9, 0.999), eps 1e-8."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    decoupled decay on all parameters, betas (0.9, 0.999), eps 1e-8.
+
+    mu_dtype=bfloat16 stores the FIRST moment in bf16 (the optimizer update
+    is HBM-bandwidth-bound — BASELINE.md device profile — and mu's per-step
+    increment (1-b1)=0.1 is far above bf16 resolution, so the EMA stays
+    faithful; accuracy validated end-to-end by benchmarks/convergence_demo).
+    The second moment stays f32: its (1-b2)=1e-3 increments would underflow
+    a bf16 EMA. Pass mu_dtype=None for bit-faithful f32 state."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=weight_decay, mu_dtype=mu_dtype)
 
 
 class Trainer:

@@ -72,3 +72,77 @@ class TestConvert:
         np.testing.assert_array_equal(loaded[1].x, samples[1].x)
         # stubs must not leak into sys.modules
         assert "torch_geometric" not in sys.modules
+
+
+def _fake_pyg2_pt(path, n=2, seed=1):
+    """Mimic PyG >= 2.0's ACTUAL pickle layout (residual-risk check,
+    BASELINE.md): Data holds a `_store` GlobalStorage
+    (torch_geometric.data.storage path) whose state dict nests the fields
+    under `_mapping` with a `_parent` back-reference — the layout
+    BaseStorage.__getstate__ emits. A real PyG pickle cannot be produced
+    in-env (PyG not installable), so this reconstruction is the closest
+    testable stand-in."""
+    data_mod = types.ModuleType("torch_geometric.data.data")
+    storage_mod = types.ModuleType("torch_geometric.data.storage")
+
+    class Data:
+        pass
+
+    class GlobalStorage:
+        pass
+
+    Data.__module__ = "torch_geometric.data.data"
+    Data.__qualname__ = "Data"
+    GlobalStorage.__module__ = "torch_geometric.data.storage"
+    GlobalStorage.__qualname__ = "GlobalStorage"
+    data_mod.Data = Data
+    storage_mod.GlobalStorage = GlobalStorage
+    sys.modules["torch_geometric"] = types.ModuleType("torch_geometric")
+    sys.modules["torch_geometric.data"] = types.ModuleType("torch_geometric.data")
+    sys.modules["torch_geometric.data.data"] = data_mod
+    sys.modules["torch_geometric.data.storage"] = storage_mod
+
+    rng = np.random.RandomState(seed)
+    items = []
+    for i in range(n):
+        n_atoms = int(rng.randint(3, 7))
+        y = torch.tensor(np.abs(rng.randn(201)), dtype=torch.float)
+        mapping = {
+            "x": torch.tensor(rng.randn(n_atoms + 1, 200), dtype=torch.float),
+            "edge_index": torch.tensor(
+                np.stack([np.repeat(np.arange(n_atoms), 12),
+                          rng.randint(0, n_atoms, n_atoms * 12)]),
+                dtype=torch.long),
+            "edge_attr": torch.tensor(rng.rand(n_atoms * 12, 41),
+                                      dtype=torch.float),
+            "y": y / y.max(),
+            "y_ft": y / y.max(),
+            "y_max": torch.tensor(float(y.max())),
+            "glob": torch.tensor(rng.randn(2), dtype=torch.float),
+            "system": torch.tensor(i % 7),
+            "mp_id": f"mp-{100 + i}",
+        }
+        d = Data()
+        st = GlobalStorage()
+        st.__dict__.update({"_mapping": mapping, "_parent": d})
+        d.__dict__.update({"_store": st})
+        items.append(d)
+    torch.save(items, path)
+    for m in ("torch_geometric", "torch_geometric.data",
+              "torch_geometric.data.data", "torch_geometric.data.storage"):
+        del sys.modules[m]
+
+
+class TestConvertPyG2Layout:
+    def test_nested_storage_layout(self, tmp_path):
+        pt = tmp_path / "pyg2.pt"
+        npz = tmp_path / "out.npz"
+        _fake_pyg2_pt(str(pt))
+        assert "torch_geometric" not in sys.modules
+        samples = convert(str(pt), str(npz))
+        assert len(samples) == 2
+        s = samples[0]
+        assert s.x.shape[1] == 200 and s.edge_attr.shape[1] == 41
+        assert s.mp_id == "mp-100"
+        loaded = load_samples(str(npz))
+        np.testing.assert_array_equal(loaded[0].x, samples[0].x)

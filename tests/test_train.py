@@ -159,6 +159,32 @@ class TestTrainerIntegration:
                 last = float(m["loss"])
         assert last < first
 
+    def test_bf16_trains_and_tracks_f32(self, tiny_edos):
+        """bf16 end-to-end regression guard (BASELINE.md: bf16 RMSE is
+        validated within 1% of f32 on the TPU convergence demo): the bf16
+        model must train (loss decreases, stays finite) and its first-step
+        loss must sit near the f32 one — a silent dtype bug (e.g. a f32
+        cast dropping out) would blow this tolerance."""
+        _, loader = tiny_edos
+        batches = list(loader)
+        losses = {}
+        for dtype in ("float32", "bfloat16"):
+            model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                       dtype=dtype)
+            tr = Trainer(model, donate=False)
+            state = tr.init_state(batches[0], seed=0)
+            traj = []
+            for _ in range(6):
+                for b in batches:
+                    state, m = tr.train_step(state, b)
+                    traj.append(float(m["loss"]))
+            losses[dtype] = traj
+        bf = np.asarray(losses["bfloat16"])
+        f32 = np.asarray(losses["float32"])
+        assert np.isfinite(bf).all()
+        assert bf[-1] < bf[0]
+        np.testing.assert_allclose(bf[0], f32[0], rtol=0.03)
+
     def test_baseline_families_train(self, tiny_edos):
         _, loader = tiny_edos
         batch = next(iter(loader))
