@@ -216,17 +216,23 @@ class Trainer:
             state, losses = jax.lax.scan(body, state, stacked)
             return state, losses
 
-        def train_epoch_device(state: TrainState, data, perm):
-            """Epoch over a device-resident dataset: shuffle indices are
-            gathered ON DEVICE inside the scan — no per-epoch host work
+        def train_epoch_device(state: TrainState, data, rng, *,
+                               steps: int, batch_size: int):
+            """Epoch over a device-resident dataset, ONE dispatch: the rng
+            split, the shuffle permutation and the per-step batch gathers all
+            run on device inside the jit — zero per-epoch host work
             (train/device_dataset.py)."""
+            rng, sub = jax.random.split(rng)
+            perm = jax.random.permutation(
+                sub, steps * batch_size).reshape(steps, batch_size)
+
             def body(st, idx):
                 batch = jax.tree.map(lambda x: x[idx], data)
                 st, metrics = train_step(st, batch)
                 return st, metrics["loss"]
 
             state, losses = jax.lax.scan(body, state, perm)
-            return state, losses
+            return state, losses, rng
 
         donate = (0,) if self._donate else ()
         if self.mesh is not None and not self._has_tp:
@@ -277,15 +283,26 @@ class Trainer:
 
                 return jax.lax.scan(body, state, stacked)
 
-            def dp_train_epoch_device(state: TrainState, data, perm):
-                # data replicated, perm sharded over 'data': each device
-                # gathers its own local slice of every batch
+            def dp_train_epoch_device(state: TrainState, data, rng, *,
+                                      steps: int, batch_size: int):
+                # ONE dispatch: every device computes the SAME permutation
+                # from the replicated rng, then gathers only its own column
+                # block of each batch from the replicated dataset
+                rng, sub = jax.random.split(rng)
+                perm = jax.random.permutation(
+                    sub, steps * batch_size).reshape(steps, batch_size)
+                n_sh = mesh.shape[axis]
+                local = batch_size // n_sh
+                perm = jax.lax.dynamic_slice_in_dim(
+                    perm, jax.lax.axis_index(axis) * local, local, axis=1)
+
                 def body(st, idx):
                     b = jax.tree.map(lambda x: x[idx], data)
                     st, metrics = dp_train_step(st, b)
                     return st, metrics["loss"]
 
-                return jax.lax.scan(body, state, perm)
+                state, losses = jax.lax.scan(body, state, perm)
+                return state, losses, rng
 
             # check_vma=False: pallas_call inside shard_map does not carry
             # varying-mesh-axes metadata; replication of the outputs is
@@ -300,11 +317,19 @@ class Trainer:
                               in_specs=(P(), P(None, axis)),
                               out_specs=(P(), P()), check_vma=False),
                 donate_argnums=donate)
-            self._train_epoch_device = jax.jit(
-                jax.shard_map(dp_train_epoch_device, mesh=mesh,
-                              in_specs=(P(), P(), P(None, axis)),
-                              out_specs=(P(), P()), check_vma=False),
-                donate_argnums=donate)
+            def make_epoch_device(steps: int, batch_size: int):
+                import functools
+
+                fn = functools.partial(dp_train_epoch_device, steps=steps,
+                                       batch_size=batch_size)
+                return jax.jit(
+                    jax.shard_map(fn, mesh=mesh,
+                                  in_specs=(P(), P(), P()),
+                                  out_specs=(P(), P(), P()),
+                                  check_vma=False),
+                    donate_argnums=donate)
+
+            self._make_epoch_device = make_epoch_device
             self._eval_step = jax.jit(
                 jax.shard_map(eval_step, mesh=mesh,
                               in_specs=(P(), P(axis)),
@@ -314,9 +339,17 @@ class Trainer:
             # input placement (init_state puts params in the Megatron layout)
             self._train_step = jax.jit(train_step, donate_argnums=donate)
             self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
-            self._train_epoch_device = jax.jit(train_epoch_device,
-                                               donate_argnums=donate)
+
+            def make_epoch_device(steps: int, batch_size: int):
+                import functools
+
+                fn = functools.partial(train_epoch_device, steps=steps,
+                                       batch_size=batch_size)
+                return jax.jit(fn, donate_argnums=donate)
+
+            self._make_epoch_device = make_epoch_device
             self._eval_step = jax.jit(eval_step)
+        self._epoch_device_cache = {}
 
     def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -333,18 +366,17 @@ class Trainer:
         return self._train_step(state, self.shard_batch(batch))
 
     def train_epoch_device(self, state: TrainState, dataset, rng: jax.Array):
-        """One epoch over a DeviceDataset: draws a device-side permutation,
-        gathers [S, B] batches inside the scan. Returns (state, losses, rng).
-        The whole epoch is one dispatch with zero host->device data traffic."""
-        rng, sub = jax.random.split(rng)
-        perm = jax.random.permutation(sub, dataset.num_samples)
-        s, b = dataset.steps_per_epoch, dataset.batch_size
-        perm = perm[: s * b].reshape(s, b)
+        """One epoch over a DeviceDataset in ONE dispatch: the rng split, the
+        shuffle permutation and the per-step batch gathers all run inside the
+        jit. Returns (state, losses, rng)."""
+        key = (dataset.steps_per_epoch, dataset.batch_size)
+        fn = self._epoch_device_cache.get(key)
+        if fn is None:
+            fn = self._epoch_device_cache[key] = self._make_epoch_device(*key)
         # under DP the dataset replicates once (device_put is a no-op when
         # already placed); each device gathers its own shard of every batch
         data = self.replicate(dataset.data)
-        state, losses = self._train_epoch_device(state, data, perm)
-        return state, losses, rng
+        return fn(state, data, rng)
 
     def train_epoch(self, state: TrainState, batches):
         """Run one scan-compiled epoch over a list of same-shape GraphBatches
