@@ -23,6 +23,7 @@ layers/multihead_attention.py with TPU-friendly batch-first layout
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -31,7 +32,11 @@ from flax import linen as fnn
 
 from dostransformer_tpu.nn.init import xavier_uniform_init
 from dostransformer_tpu.nn.modules import LN_EPS
-from dostransformer_tpu.ops.attention import dot_product_attention, fused_attention
+from dostransformer_tpu.ops.attention import (
+    dot_product_attention,
+    fused_attention,
+    fused_attention_ln,
+)
 
 
 def _zeros_bias(key, shape, dtype=jnp.float32):
@@ -67,15 +72,33 @@ class TransformerEncoderLayer(fnn.Module):
         residual = x
         # LN0 is ONE module applied to q, k, v separately (transformer.py:132-134)
         ln0 = _SharedLN(epsilon=LN_EPS, name="ln0")
-        q = ln0(x)
-        k = ln0(x_k)
-        v = ln0(x_v)
 
         dropout_rng = None
         if self.attn_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
         attn_fn = fused_attention if use_pallas else dot_product_attention
         rate = self.attn_dropout if not deterministic else 0.0
+        fuse_ln = os.environ.get("DOSTPU_FUSE_LN_ATTN", "0") == "1"
+        if use_pallas and fuse_ln and rate == 0.0 and self.num_heads == 1:
+            # LN+attention fused in one Pallas kernel: the three LN outputs
+            # never round-trip HBM. Same param tree — ln0 is materialized
+            # with a dummy call (DCE'd by XLA) and its params fed in.
+            # MEASURED SLOWER at the flagship shapes on v5e (BASELINE.md:
+            # in-kernel LN serializes with the matmuls and the backward
+            # recomputes the LNs; 5.8k vs 6.1k samples/s) — hence opt-in;
+            # revisit at larger hidden/batch where the saved HBM traffic
+            # outweighs the VPU time.
+            _ = ln0(jnp.zeros((1, x.shape[-1]), x.dtype))
+            lnp = ln0.variables["params"]["ln"]
+            a = fused_attention_ln(x, x_k, x_v, lnp["scale"], lnp["bias"],
+                                   key_mask)
+            a = fnn.Dropout(self.res_dropout, name="res_drop0")(
+                a, deterministic=deterministic)
+            x = residual + a
+            return self._ffn(x, deterministic)
+        q = ln0(x)
+        k = ln0(x_k)
+        v = ln0(x_v)
         if self.num_heads > 1:
             # opt-in extension: true head-split attention. The reference's
             # forward ignores num_heads (multihead_attention.py:49-76 — its
@@ -101,7 +124,9 @@ class TransformerEncoderLayer(fnn.Module):
                         dropout_rate=rate, dropout_rng=dropout_rng)
         a = fnn.Dropout(self.res_dropout, name="res_drop0")(a, deterministic=deterministic)
         x = residual + a
+        return self._ffn(x, deterministic)
 
+    def _ffn(self, x, deterministic):
         residual = x
         h = fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
                           name="ln1")(x).astype(x.dtype)

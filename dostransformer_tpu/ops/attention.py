@@ -157,6 +157,174 @@ def _fused_bwd(res, g):
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# LN-fused variant: the pre-LN transformer applies ONE shared LayerNorm to
+# q, k and v separately right before the projection-free attention
+# (reference transformer.py:132-134); its outputs feed ONLY the attention.
+# Fusing the three LayerNorms into the kernel removes their HBM round trips
+# (BASELINE.md round-2 burn-down item).
+# ---------------------------------------------------------------------------
+
+LN_EPS_ATTN = 1e-5  # == nn.modules.LN_EPS (kept literal: ops must not import nn)
+
+
+def _attn_ln_fwd_kernel(x_ref, xk_ref, xv_ref, lns_ref, lnb_ref, cm_ref,
+                        bias_ref, o_ref, *, scale: float, precision,
+                        d_real: int, out_dtype):
+    cm = cm_ref[0]      # [1, D_pad] 1.0 on real cols, 0.0 on padding
+    lns = lns_ref[0]    # [1, D_pad] zero-padded LN scale
+    lnb = lnb_ref[0]    # [1, D_pad] zero-padded LN bias
+
+    def ln(t):
+        # stats over the REAL feature width; padded cols are zeros on input
+        t = t.astype(jnp.float32)
+        mu = jnp.sum(t, axis=-1, keepdims=True) / d_real
+        diff = (t - mu) * cm
+        var = jnp.sum(diff * diff, axis=-1, keepdims=True) / d_real
+        # zero-padded lns/lnb keep padding columns exactly 0
+        out = diff * jax.lax.rsqrt(var + LN_EPS_ATTN) * lns + lnb
+        return out.astype(out_dtype)
+
+    q = ln(x_ref[0])
+    k = ln(xk_ref[0])
+    v = ln(xv_ref[0])
+    s = jax.lax.dot(q, k.T, preferred_element_type=jnp.float32,
+                    precision=precision) * scale
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0] = jax.lax.dot(p, v, preferred_element_type=jnp.float32,
+                           precision=precision).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def _fused_attention_ln_fwd(x, x_k, x_v, ln_scale, ln_bias, bias,
+                            *, q_tile: int = 256):
+    b, lq, d = x.shape
+    lk = x_k.shape[1]
+    scale = d ** -0.5
+    precision = (jax.lax.Precision.HIGHEST
+                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
+                 else jax.lax.Precision.DEFAULT)
+
+    lq_pad = _round_up(lq, 8)
+    tq = min(q_tile, lq_pad)
+    lq_pad = _round_up(lq_pad, tq)
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
+
+    xb = jnp.zeros((b, lq_pad, d_pad), x.dtype).at[:, :lq, :d].set(x)
+    kb = jnp.zeros((b, lk_pad, d_pad), x_k.dtype).at[:, :lk, :d].set(x_k)
+    vb = jnp.zeros((b, lk_pad, d_pad), x_v.dtype).at[:, :lk, :d].set(x_v)
+    lns = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(
+        ln_scale.astype(jnp.float32))
+    lnb = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(
+        ln_bias.astype(jnp.float32))
+    cm = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(1.0)
+    biasb = jnp.full((b, 1, lk_pad), NEG_INF, jnp.float32).at[:, 0, :lk].set(bias)
+
+    grid = (b, lq_pad // tq)
+    out = pl.pallas_call(
+        functools.partial(_attn_ln_fwd_kernel, scale=scale,
+                          precision=precision, d_real=d, out_dtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_pad), lambda bi, qi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lk_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), x.dtype),
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
+    )(xb, kb, vb, lns, lnb, cm, biasb)
+    return out[:, :lq, :d]
+
+
+def _ln_apply(x, scale, bias):
+    """flax LayerNorm(dtype=f32) semantics; returns (y in x.dtype, xhat, rstd)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS_ATTN)
+    xhat = (xf - mu) * rstd
+    y = (xhat * scale + bias).astype(x.dtype)
+    return y, xhat, rstd
+
+
+def _ln_bwd(g, xhat, rstd, scale, in_dtype):
+    gf = g.astype(jnp.float32)
+    dscale = (gf * xhat).sum(axis=tuple(range(g.ndim - 1)))
+    dbias = gf.sum(axis=tuple(range(g.ndim - 1)))
+    gx = gf * scale
+    dx = rstd * (gx - gx.mean(-1, keepdims=True)
+                 - xhat * (gx * xhat).mean(-1, keepdims=True))
+    return dx.astype(in_dtype), dscale, dbias
+
+
+@jax.custom_vjp
+def _fused_attention_ln(x, x_k, x_v, ln_scale, ln_bias, bias):
+    return _fused_attention_ln_fwd(x, x_k, x_v, ln_scale, ln_bias, bias)
+
+
+def _fused_ln_vjp_fwd(x, x_k, x_v, ln_scale, ln_bias, bias):
+    o = _fused_attention_ln_fwd(x, x_k, x_v, ln_scale, ln_bias, bias)
+    return o, (x, x_k, x_v, ln_scale, ln_bias, bias)
+
+
+def _fused_ln_vjp_bwd(res, g):
+    x, x_k, x_v, ln_scale, ln_bias, bias = res
+    d = x.shape[-1]
+    scale = d ** -0.5
+    # recompute the LN outputs (cheap; keeps the residuals = raw inputs)
+    q, qhat, qrstd = _ln_apply(x, ln_scale, ln_bias)
+    k, khat, krstd = _ln_apply(x_k, ln_scale, ln_bias)
+    v, vhat, vrstd = _ln_apply(x_v, ln_scale, ln_bias)
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g)
+    dp = jnp.einsum("bqd,bkd->bqk", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    dx, s1, b1 = _ln_bwd(dq, qhat, qrstd, ln_scale, x.dtype)
+    dxk, s2, b2 = _ln_bwd(dk, khat, krstd, ln_scale, x_k.dtype)
+    dxv, s3, b3 = _ln_bwd(dv, vhat, vrstd, ln_scale, x_v.dtype)
+    return (dx, dxk, dxv,
+            (s1 + s2 + s3).astype(ln_scale.dtype),
+            (b1 + b2 + b3).astype(ln_bias.dtype), None)
+
+
+_fused_attention_ln.defvjp(_fused_ln_vjp_fwd, _fused_ln_vjp_bwd)
+
+
+def ln_attention_reference(x, x_k, x_v, ln_scale, ln_bias, key_mask=None):
+    """jnp composition (the oracle / non-Pallas path): shared LN on q/k/v then
+    projection-free attention — reference transformer.py:132-139."""
+    q, _, _ = _ln_apply(x, ln_scale, ln_bias)
+    k, _, _ = _ln_apply(x_k, ln_scale, ln_bias)
+    v, _, _ = _ln_apply(x_v, ln_scale, ln_bias)
+    return dot_product_attention(q, k, v, key_mask)
+
+
+def fused_attention_ln(x, x_k, x_v, ln_scale, ln_bias, key_mask=None):
+    """Shared-LN + projection-free attention in one Pallas kernel.
+
+    Same contract as :func:`ln_attention_reference`; differential-tested in
+    tests/test_multihead.py. Backward recomputes the LNs (residuals are the
+    raw inputs — no LN output ever lands in HBM in either pass)."""
+    b, lk = x.shape[0], x_k.shape[1]
+    if key_mask is None:
+        bias = jnp.zeros((b, lk), jnp.float32)
+    else:
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+    return _fused_attention_ln(x, x_k, x_v, ln_scale, ln_bias, bias)
+
+
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
