@@ -30,11 +30,13 @@ LAYERS = 3
 T_LAYERS = 2
 N_SAMPLES = 64
 WARMUP = 2
-# one scan-compiled epoch per timed rep. The tunneled-TPU backend adds a
-# fixed ~30 ms host round trip to the value fetch that ends each rep; a long
-# epoch amortizes that fixed cost so the metric measures steady-state device
-# throughput, not tunnel latency (CLAUDE.md environment quirks).
+# one scan-compiled MULTI-EPOCH dispatch per timed rep — the production
+# cadence (cli/common.py dispatches a whole eval interval at once). The
+# tunneled-TPU backend adds a fixed ~30-55 ms host round trip per dispatch;
+# a long dispatch amortizes that fixed cost so the metric measures
+# steady-state device throughput, not tunnel latency (CLAUDE.md quirks).
 STEPS = 512
+EPOCHS_PER_DISPATCH = 5
 
 
 def _samples():
@@ -89,22 +91,32 @@ def measure_jax() -> float:
         samples * (STEPS * BATCH // len(samples) + 1), BATCH,
         atoms_per_graph=loader.atoms_per_graph,
         edges_per_graph=loader.edges_per_graph)
+    import jax.numpy as jnp
     import jax.random as jrandom
 
-    rng = jrandom.PRNGKey(0)
+    # the production cadence (cli/common.py): one dispatch per eval interval
+    # (multi-epoch scan) — per-epoch shuffle keys derived by fold_in
+    base = jrandom.PRNGKey(0)
+    def keys_at(first_epoch):
+        return jnp.stack([jrandom.fold_in(base, e) for e in
+                          range(first_epoch, first_epoch + EPOCHS_PER_DISPATCH)])
+
+    e = 0
     for _ in range(WARMUP):
-        state, losses, rng = trainer.train_epoch_device(state, dds, rng)
+        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        e += EPOCHS_PER_DISPATCH
         np.asarray(losses)
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, losses, rng = trainer.train_epoch_device(state, dds, rng)
+        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        e += EPOCHS_PER_DISPATCH
         np.asarray(losses)
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    return dds.steps_per_epoch * BATCH / dt
+    return EPOCHS_PER_DISPATCH * dds.steps_per_epoch * BATCH / dt
 
 
 # bf16 peak matmul throughput per chip (the standard MFU denominator on TPU)

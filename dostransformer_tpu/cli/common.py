@@ -19,6 +19,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 
 from dostransformer_tpu.config import TrainConfig, exp_get_name
 from dostransformer_tpu.data.datasets import GraphLoader
@@ -198,38 +199,65 @@ def run_training(
     t_start = time.perf_counter()
     n_steps = 0
     stopped_early = False
-    for epoch in range(start_epoch, cfg.epochs):
-        # scan-compiled epoch: one dispatch for the whole epoch (fixed batch
-        # shapes make this possible — the TPU-idiomatic hot loop)
+    epoch = start_epoch
+    while epoch < cfg.epochs:
+        # scan-compiled epochs: with the device-resident dataset a whole
+        # eval interval (reference `eval`=5 epochs, main_eDOS.py:133) runs as
+        # ONE dispatch — per-epoch shuffle keys still derive from
+        # (seed, epoch), so resume and data order are unchanged. Off-boundary
+        # remainders (resume mid-interval, misaligned checkpoint cadence) use
+        # single-epoch dispatches to keep the number of compiled sizes at two.
         if device_data is not None:
-            state, losses, _ = trainer.train_epoch_device(
-                state, device_data, jax.random.fold_in(shuffle_base, epoch))
-            n_steps += int(losses.shape[0])
+            bound = min(cfg.epochs,
+                        (epoch // cfg.eval_every + 1) * cfg.eval_every)
+            if ckpt is not None and cfg.checkpoint_every:
+                bound = min(bound, (epoch // cfg.checkpoint_every + 1)
+                            * cfg.checkpoint_every)
+            chunk = bound - epoch
+            if chunk != cfg.eval_every:
+                chunk = 1
+            if chunk == 1:
+                state, losses, _ = trainer.train_epoch_device(
+                    state, device_data,
+                    jax.random.fold_in(shuffle_base, epoch))
+                losses = losses[None]
+            else:
+                keys = jnp.stack([jax.random.fold_in(shuffle_base, e)
+                                  for e in range(epoch, epoch + chunk)])
+                state, losses = trainer.train_epochs_device(
+                    state, device_data, keys)
+            n_steps += int(losses.size)
         else:
             batches = list(loader)
             state, losses = trainer.train_epoch(state, batches)
             n_steps += len(batches)
-        mean_loss = float(losses.mean())
-        sys.stdout.write(
-            f"\r[ epoch {epoch + 1}/{cfg.epochs} ] loss {mean_loss:.4f} ")
-        sys.stdout.flush()
-        logger.log({"epoch": epoch + 1, "loss": mean_loss})
+            losses, chunk = losses[None], 1
+        epoch_losses = losses.mean(axis=1)
+        for i in range(chunk):
+            mean_loss = float(epoch_losses[i])
+            sys.stdout.write(
+                f"\r[ epoch {epoch + i + 1}/{cfg.epochs} ] "
+                f"loss {mean_loss:.4f} ")
+            sys.stdout.flush()
+            logger.log({"epoch": epoch + i + 1, "loss": mean_loss})
+        epoch += chunk
 
-        if (epoch + 1) % cfg.eval_every == 0:
+        if epoch % cfg.eval_every == 0:
             vm = run_eval(valid_loader)
-            logger.log({"epoch": epoch + 1, "valid": vm})
-            if tracker.update(epoch + 1, vm["rmse"], vm["mae"]):
+            logger.log({"epoch": epoch, "valid": vm})
+            if tracker.update(epoch, vm["rmse"], vm["mae"]):
                 tm = run_eval(test_loader)
                 tracker.record_test(tm)
-                logger.log({"epoch": epoch + 1, "test": tm})
-                print(f"\n[eval {epoch + 1}] valid rmse {vm['rmse']:.4f} "
+                logger.log({"epoch": epoch, "test": tm})
+                print(f"\n[eval {epoch}] valid rmse {vm['rmse']:.4f} "
                       f"mae {vm['mae']:.4f} | test rmse {tm['rmse']:.4f} "
                       f"r2 {tm['r2']:.4f}")
             if tracker.step_and_should_stop():
                 stopped_early = True
                 break
-        if ckpt is not None and (epoch + 1) % cfg.checkpoint_every == 0:
-            ckpt.save(epoch + 1, state, tracker)
+        if ckpt is not None and cfg.checkpoint_every and \
+                epoch % cfg.checkpoint_every == 0:
+            ckpt.save(epoch, state, tracker)
 
     elapsed = time.perf_counter() - t_start
     if profile_dir:

@@ -216,15 +216,23 @@ class Trainer:
             state, losses = jax.lax.scan(body, state, stacked)
             return state, losses
 
+        def _epoch_perm(key, steps: int, batch_size: int):
+            """Per-epoch shuffle permutation; the split mirrors the original
+            single-epoch derivation so multi-epoch dispatches replay the
+            exact same data order as a sequence of single-epoch dispatches
+            (and checkpoint resume stays bit-deterministic)."""
+            sub = jax.random.split(key)[1]
+            return jax.random.permutation(
+                sub, steps * batch_size).reshape(steps, batch_size)
+
         def train_epoch_device(state: TrainState, data, rng, *,
                                steps: int, batch_size: int):
             """Epoch over a device-resident dataset, ONE dispatch: the rng
             split, the shuffle permutation and the per-step batch gathers all
             run on device inside the jit — zero per-epoch host work
             (train/device_dataset.py)."""
-            rng, sub = jax.random.split(rng)
-            perm = jax.random.permutation(
-                sub, steps * batch_size).reshape(steps, batch_size)
+            perm = _epoch_perm(rng, steps, batch_size)
+            rng = jax.random.split(rng)[0]
 
             def body(st, idx):
                 batch = jax.tree.map(lambda x: x[idx], data)
@@ -233,6 +241,27 @@ class Trainer:
 
             state, losses = jax.lax.scan(body, state, perm)
             return state, losses, rng
+
+        def train_epochs_device(state: TrainState, data, epoch_keys, *,
+                                steps: int, batch_size: int):
+            """E epochs in ONE dispatch: vmapped per-epoch permutations from
+            the caller's [E] PRNG keys, then a single scan over all E*S
+            steps. Amortizes the fixed dispatch latency (host round trip +
+            tunnel fetch) over E epochs — the production path between eval
+            points (the reference evaluates every `eval`=5 epochs,
+            main_eDOS.py:133). Returns per-epoch losses [E, S]."""
+            n_epochs = epoch_keys.shape[0]
+            perms = jax.vmap(
+                lambda k: _epoch_perm(k, steps, batch_size))(epoch_keys)
+            perm = perms.reshape(n_epochs * steps, batch_size)
+
+            def body(st, idx):
+                batch = jax.tree.map(lambda x: x[idx], data)
+                st, metrics = train_step(st, batch)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(body, state, perm)
+            return state, losses.reshape(n_epochs, steps)
 
         donate = (0,) if self._donate else ()
         if self.mesh is not None and not self._has_tp:
@@ -283,18 +312,22 @@ class Trainer:
 
                 return jax.lax.scan(body, state, stacked)
 
-            def dp_train_epoch_device(state: TrainState, data, rng, *,
-                                      steps: int, batch_size: int):
-                # ONE dispatch: every device computes the SAME permutation
-                # from the replicated rng, then gathers only its own column
-                # block of each batch from the replicated dataset
-                rng, sub = jax.random.split(rng)
-                perm = jax.random.permutation(
-                    sub, steps * batch_size).reshape(steps, batch_size)
+            def _local_perm_block(perm, batch_size: int):
+                # every device computed the SAME permutation from the
+                # replicated key; each gathers only its own column block of
+                # each batch from the replicated dataset
                 n_sh = mesh.shape[axis]
                 local = batch_size // n_sh
-                perm = jax.lax.dynamic_slice_in_dim(
+                return jax.lax.dynamic_slice_in_dim(
                     perm, jax.lax.axis_index(axis) * local, local, axis=1)
+
+            def dp_train_epoch_device(state: TrainState, data, rng, *,
+                                      steps: int, batch_size: int):
+                # ONE dispatch per epoch (see train_epochs_device for the
+                # multi-epoch form)
+                perm = _local_perm_block(
+                    _epoch_perm(rng, steps, batch_size), batch_size)
+                rng = jax.random.split(rng)[0]
 
                 def body(st, idx):
                     b = jax.tree.map(lambda x: x[idx], data)
@@ -303,6 +336,25 @@ class Trainer:
 
                 state, losses = jax.lax.scan(body, state, perm)
                 return state, losses, rng
+
+            def dp_train_epochs_device(state: TrainState, data, epoch_keys, *,
+                                       steps: int, batch_size: int):
+                # E epochs in ONE dispatch (per-epoch keys -> permutations;
+                # same derivation as the single-epoch form, so the data order
+                # is bit-identical to E sequential dispatches)
+                n_epochs = epoch_keys.shape[0]
+                perms = jax.vmap(
+                    lambda k: _epoch_perm(k, steps, batch_size))(epoch_keys)
+                perm = _local_perm_block(
+                    perms.reshape(n_epochs * steps, batch_size), batch_size)
+
+                def body(st, idx):
+                    b = jax.tree.map(lambda x: x[idx], data)
+                    st, metrics = dp_train_step(st, b)
+                    return st, metrics["loss"]
+
+                state, losses = jax.lax.scan(body, state, perm)
+                return state, losses.reshape(n_epochs, steps)
 
             # check_vma=False: pallas_call inside shard_map does not carry
             # varying-mesh-axes metadata; replication of the outputs is
@@ -329,7 +381,20 @@ class Trainer:
                                   check_vma=False),
                     donate_argnums=donate)
 
+            def make_epochs_device(steps: int, batch_size: int):
+                import functools
+
+                fn = functools.partial(dp_train_epochs_device, steps=steps,
+                                       batch_size=batch_size)
+                return jax.jit(
+                    jax.shard_map(fn, mesh=mesh,
+                                  in_specs=(P(), P(), P()),
+                                  out_specs=(P(), P()),
+                                  check_vma=False),
+                    donate_argnums=donate)
+
             self._make_epoch_device = make_epoch_device
+            self._make_epochs_device = make_epochs_device
             self._eval_step = jax.jit(
                 jax.shard_map(eval_step, mesh=mesh,
                               in_specs=(P(), P(axis)),
@@ -347,7 +412,15 @@ class Trainer:
                                        batch_size=batch_size)
                 return jax.jit(fn, donate_argnums=donate)
 
+            def make_epochs_device(steps: int, batch_size: int):
+                import functools
+
+                fn = functools.partial(train_epochs_device, steps=steps,
+                                       batch_size=batch_size)
+                return jax.jit(fn, donate_argnums=donate)
+
             self._make_epoch_device = make_epoch_device
+            self._make_epochs_device = make_epochs_device
             self._eval_step = jax.jit(eval_step)
         self._epoch_device_cache = {}
 
@@ -377,6 +450,22 @@ class Trainer:
         # already placed); each device gathers its own shard of every batch
         data = self.replicate(dataset.data)
         return fn(state, data, rng)
+
+    def train_epochs_device(self, state: TrainState, dataset, epoch_keys):
+        """Multiple epochs over a DeviceDataset in ONE dispatch. epoch_keys
+        is a stacked [E, ...] array of per-epoch PRNG keys (e.g.
+        `jnp.stack([fold_in(base, e) for e in epochs])`); each epoch's
+        shuffle derives from its key exactly as in train_epoch_device, so the
+        data order matches E sequential single-epoch dispatches bit-for-bit.
+        Returns (state, losses [E, steps_per_epoch])."""
+        key = (dataset.steps_per_epoch, dataset.batch_size,
+               int(epoch_keys.shape[0]))
+        fn = self._epoch_device_cache.get(key)
+        if fn is None:
+            fn = self._epoch_device_cache[key] = self._make_epochs_device(
+                key[0], key[1])
+        data = self.replicate(dataset.data)
+        return fn(state, data, self.replicate(epoch_keys))
 
     def train_epoch(self, state: TrainState, batches):
         """Run one scan-compiled epoch over a list of same-shape GraphBatches

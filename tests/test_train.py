@@ -334,6 +334,37 @@ class TestDeviceDataset:
             out.append(np.asarray(losses))
         np.testing.assert_array_equal(out[0], out[1])
 
+    def test_multi_epoch_dispatch_matches_sequential(self):
+        """train_epochs_device (E epochs, ONE dispatch) must replay the exact
+        data order of E sequential train_epoch_device dispatches when fed the
+        same per-epoch fold_in keys — the CLI's eval-interval dispatch
+        contract (cli/common.py)."""
+        import jax.numpy as jnp
+
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(8, seed=7)
+        dds = DeviceDataset.from_samples(samples, batch_size=4)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, donate=False)
+        base = jax.random.PRNGKey(11)
+
+        state = tr.init_state(collate(samples[:4]), seed=0)
+        seq = []
+        for e in range(3):
+            state, losses, _ = tr.train_epoch_device(
+                state, dds, jax.random.fold_in(base, e))
+            seq.append(np.asarray(losses))
+
+        state2 = tr.init_state(collate(samples[:4]), seed=0)
+        keys = jnp.stack([jax.random.fold_in(base, e) for e in range(3)])
+        state2, losses2 = tr.train_epochs_device(state2, dds, keys)
+        assert losses2.shape == (3, dds.steps_per_epoch)
+        np.testing.assert_array_equal(np.stack(seq), np.asarray(losses2))
+        np.testing.assert_array_equal(np.asarray(state.step),
+                                      np.asarray(state2.step))
+
 
 class TestDistributed:
     """The TPU-native fake-backend analogue (SURVEY.md §4): the same train
@@ -450,6 +481,35 @@ class TestDistributed:
         s8 = tr8.init_state(batch0, seed=0)
         s8, losses8, _ = tr8.train_epoch_device(s8, dds, jax.random.PRNGKey(3))
         np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses8),
+                                   rtol=2e-4)
+
+    def test_multi_epoch_dispatch_under_dp(self, tiny_edos):
+        """The multi-epoch dispatch must agree with sequential single-epoch
+        dispatches under the DP shard_map too (same fold_in keys)."""
+        import jax.numpy as jnp
+
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(16, seed=0)
+        dds = DeviceDataset.from_samples(samples, batch_size=8)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+        batch0 = next(iter(GraphLoader(samples[:8], batch_size=8)))
+        mesh = make_mesh(axes=("data",))
+        base = jax.random.PRNGKey(5)
+
+        tr = Trainer(model, mesh=mesh, donate=False)
+        s = tr.init_state(batch0, seed=0)
+        seq = []
+        for e in range(2):
+            s, losses, _ = tr.train_epoch_device(
+                s, dds, jax.random.fold_in(base, e))
+            seq.append(np.asarray(losses))
+
+        s2 = tr.init_state(batch0, seed=0)
+        keys = jnp.stack([jax.random.fold_in(base, e) for e in range(2)])
+        s2, losses2 = tr.train_epochs_device(s2, dds, keys)
+        np.testing.assert_allclose(np.stack(seq), np.asarray(losses2),
                                    rtol=2e-4)
 
     def test_batch_leaves_sharded(self, tiny_edos):
