@@ -178,13 +178,22 @@ def _bwd_kernel(s_ref, r_ref, m_ref, sp_ref, dp_ref, ep_ref, lns_ref, lnb_ref,
                               preferred_element_type=jnp.float32)
 
 
+def _pick_tile_e(e: int) -> int:
+    """One edge tile per graph when it fits VMEM comfortably (grid (B, 1):
+    fewer kernel invocations and zero tile-padding waste — measured 24.5 vs
+    31.8 us/call fwd at the flagship E=384 against fixed 256), else 512."""
+    return min(512, _round_up(e, 128))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_e",))
 def _fused_fwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
                     edge_mask, ln_scale, ln_bias, alpha, w1, b1,
-                    tile_e: int = 256):
+                    tile_e: int | None = None):
     b, a, m = src_proj.shape
     e = senders.shape[1]
     h = w1.shape[1]
+    if tile_e is None:
+        tile_e = _pick_tile_e(e)
     a_pad = max(8, _round_up(a, 8))
     e_pad = _round_up(e, tile_e)
 
@@ -235,10 +244,12 @@ def _fused_fwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
 @functools.partial(jax.jit, static_argnames=("tile_e",))
 def _fused_bwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
                     edge_mask, ln_scale, ln_bias, alpha, w1,
-                    g_eout, g_agg, tile_e: int = 256):
+                    g_eout, g_agg, tile_e: int | None = None):
     b, a, m = src_proj.shape
     e = senders.shape[1]
     h = w1.shape[1]
+    if tile_e is None:
+        tile_e = _pick_tile_e(e)
     a_pad = max(8, _round_up(a, 8))
     e_pad = _round_up(e, tile_e)
 
