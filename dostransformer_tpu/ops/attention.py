@@ -68,18 +68,23 @@ def dot_product_attention(
 
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                     precision):
-    q = q_ref[0]        # [TQ, D]
-    k = k_ref[0]        # [Lk, D]
-    s = jax.lax.dot(q, k.T, preferred_element_type=jnp.float32,
-                    precision=precision) * scale          # [TQ, Lk]
-    s = s + bias_ref[0]  # additive key bias (0 or NEG_INF), broadcast over rows
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v_ref.dtype)
-    o_ref[0] = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32,
-                           precision=precision).astype(o_ref.dtype)
+                     precision, nb: int):
+    # nb batch elements per invocation (unrolled): the per-element matmuls
+    # are tiny at these shapes ([<=256, 256] @ [256, 256]) so invocation
+    # overhead dominates a 1-element grid; batching amortizes it while the
+    # MXU/VPU work pipelines across the unrolled elements.
+    for i in range(nb):
+        q = q_ref[i]        # [TQ, D]
+        k = k_ref[i]        # [Lk, D]
+        s = jax.lax.dot(q, k.T, preferred_element_type=jnp.float32,
+                        precision=precision) * scale      # [TQ, Lk]
+        s = s + bias_ref[i]  # additive key bias (0 or NEG_INF) per element
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v_ref.dtype)
+        o_ref[i] = jax.lax.dot(p, v_ref[i], preferred_element_type=jnp.float32,
+                               precision=precision).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -106,6 +111,9 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
     lq_pad = _round_up(lq_pad, tq)
     lk_pad = _round_up(lk, 128)
     d_pad = _round_up(d, 128)
+    # batch elements per invocation, VMEM-bounded (k/v/q/o tiles, f32 worst
+    # case): 4 covers the flagship shapes ([8|16, 201, 256]) comfortably
+    nb = next(n for n in (4, 2, 1) if b % n == 0)
 
     qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
     kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
@@ -113,17 +121,18 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
     # pad keys masked out
     biasb = jnp.full((b, 1, lk_pad), NEG_INF, jnp.float32).at[:, 0, :lk].set(bias)
 
-    grid = (b, lq_pad // tq)
+    grid = (b // nb, lq_pad // tq)
     out = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, scale=scale, precision=precision),
+        functools.partial(_attn_fwd_kernel, scale=scale, precision=precision,
+                          nb=nb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lk_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lk_pad, d_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, lk_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((nb, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
         interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
     )(qb, kb, vb, biasb)
