@@ -11,3 +11,4 @@ from dostransformer_tpu.train.early_stop import BestTracker  # noqa: F401
 from dostransformer_tpu.train.artifacts import EvalArtifacts  # noqa: F401
 from dostransformer_tpu.train.device_dataset import DeviceDataset  # noqa: F401
 from dostransformer_tpu.train.trainer import make_adamw, stack_batches  # noqa: F401
+from dostransformer_tpu.train.fused_adamw import FusedAdamW  # noqa: F401

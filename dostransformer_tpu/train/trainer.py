@@ -28,6 +28,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dostransformer_tpu.data.graph import GraphBatch
+from dostransformer_tpu.train.fused_adamw import FusedAdamW
 from dostransformer_tpu.train.loss import dos_loss, dos_loss_parts
 from dostransformer_tpu.train.metrics import eval_metrics
 
@@ -80,11 +81,17 @@ class Trainer:
         donate: bool = True,
     ):
         self.model = model
+        self.mesh = mesh
+        # default optimizer: optax AdamW. The shape-grouped FusedAdamW
+        # (train/fused_adamw.py) is accepted here as an opt-in tx; it wins
+        # in isolation (214 -> 118 us/step update microbench) but LOSES
+        # end-to-end (train step 1094 -> 1235 us on v5e): inside the real
+        # step the grad/param stacking and the slice-back to the tree carry
+        # materialize as copies that optax's per-leaf layout never pays.
         self.tx = tx if tx is not None else make_adamw()
         self.beta = beta
         self.clamp_targets = clamp_targets
         self.eval_clamp = eval_clamp
-        self.mesh = mesh
         self._donate = donate
         self._train_step = None
         self._eval_step = None
@@ -170,6 +177,15 @@ class Trainer:
                 return out
             return out[0], out[1], None
 
+        def apply_optimizer(grads, opt_state, params):
+            """One optimizer step. FusedAdamW computes the new params inside
+            its grouped kernels; optax transforms go through the standard
+            update/apply_updates pair."""
+            if isinstance(tx, FusedAdamW):
+                return tx.update_params(grads, opt_state, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
         def loss_fn(params, batch: GraphBatch, rng):
             deterministic = getattr(model, "attn_drop", 0.0) == 0.0
             kwargs = {}
@@ -185,8 +201,8 @@ class Trainer:
             rng, sub = jax.random.split(state.rng)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, sub)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state = apply_optimizer(grads, state.opt_state,
+                                                state.params)
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=opt_state, rng=rng)
             return new_state, {"loss": loss, **aux}
@@ -297,9 +313,8 @@ class Trainer:
                 loss = jax.lax.psum(local, axis) / denom
                 rmse_g = jax.lax.psum(sg, axis) / denom
                 rmse_s = jax.lax.psum(ss, axis) / denom
-                updates, opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
-                params = optax.apply_updates(state.params, updates)
+                params, opt_state = apply_optimizer(grads, state.opt_state,
+                                                    state.params)
                 new_state = state.replace(step=state.step + 1, params=params,
                                           opt_state=opt_state, rng=rng)
                 return new_state, {"loss": loss, "rmse_global": rmse_g,
