@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dostransformer_tpu.config import TrainConfig, exp_get_name
 from dostransformer_tpu.data.datasets import GraphLoader
@@ -173,9 +174,14 @@ def run_training(
         print(f"resumed from epoch {start_epoch}")
 
     def run_eval(loader_, artifacts=None):
+        # whole eval set in ONE dispatch (scan-compiled; Trainer.eval_epoch),
+        # then accumulate per batch on host from the fetched stack
+        batches = list(loader_)
+        ms = trainer.eval_epoch(state.params, batches)
+        ms = jax.tree.map(lambda x: np.asarray(x), ms)
         acc = MetricAccumulator()
-        for batch in loader_:
-            m = trainer.eval_step(state.params, batch)
+        for i, batch in enumerate(batches):
+            m = jax.tree.map(lambda x: x[i], ms)
             acc.update(m)
             if artifacts is not None:
                 artifacts.update(m, batch)

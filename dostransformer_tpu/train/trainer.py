@@ -221,6 +221,17 @@ class Trainer:
             m["preds_global"] = dg
             return m
 
+        def eval_epoch(params, stacked: GraphBatch):
+            """Whole eval set in ONE dispatch: scan eval_step over a
+            [S, B, ...] stack of batches (per-batch dispatches would pay the
+            host round trip S times; the reference evaluates every 5 epochs,
+            main_eDOS.py:133, so this is on the production path)."""
+            def body(c, b):
+                return c, eval_step(params, b)
+
+            _, ms = jax.lax.scan(body, jnp.zeros((), jnp.int32), stacked)
+            return ms
+
         def train_epoch(state: TrainState, stacked: GraphBatch):
             """lax.scan over a [S, B, ...] stack of batches: one dispatch per
             epoch instead of per step — the TPU-idiomatic hot loop (no
@@ -414,6 +425,10 @@ class Trainer:
                 jax.shard_map(eval_step, mesh=mesh,
                               in_specs=(P(), P(axis)),
                               out_specs=P(axis), check_vma=False))
+            self._eval_epoch = jax.jit(
+                jax.shard_map(eval_epoch, mesh=mesh,
+                              in_specs=(P(), P(None, axis)),
+                              out_specs=P(None, axis), check_vma=False))
         else:
             # single device, or dp x tp: state shardings propagate from the
             # input placement (init_state puts params in the Megatron layout)
@@ -437,6 +452,7 @@ class Trainer:
             self._make_epoch_device = make_epoch_device
             self._make_epochs_device = make_epochs_device
             self._eval_step = jax.jit(eval_step)
+            self._eval_epoch = jax.jit(eval_epoch)
         self._epoch_device_cache = {}
 
     def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
@@ -496,3 +512,15 @@ class Trainer:
 
     def eval_step(self, params, batch: GraphBatch):
         return self._eval_step(params, self.shard_batch(batch))
+
+    def eval_epoch(self, params, batches):
+        """Evaluate a list of same-shape GraphBatches (or a pre-stacked
+        [S, B, ...] pytree) in ONE dispatch. Returns the per-batch metrics
+        pytree with a leading [S] axis — index it per batch and feed
+        MetricAccumulator/EvalArtifacts as with eval_step outputs."""
+        if isinstance(batches, (list, tuple)):
+            batches = stack_batches(batches)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            batches = jax.tree.map(lambda x: jax.device_put(x, sh), batches)
+        return self._eval_epoch(params, batches)

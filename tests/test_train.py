@@ -334,6 +334,45 @@ class TestDeviceDataset:
             out.append(np.asarray(losses))
         np.testing.assert_array_equal(out[0], out[1])
 
+    def test_eval_epoch_matches_per_batch(self):
+        """Scan-compiled eval (one dispatch) must reproduce per-batch
+        eval_step outputs exactly — the CLI's run_eval contract."""
+        from dostransformer_tpu.data.graph import collate
+
+        samples = synthetic_edos_samples(16, seed=9)
+        loader = GraphLoader(samples, batch_size=4)
+        batches = list(loader)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model)
+        params = tr.init_state(collate(samples[:4])).params
+
+        stacked_ms = tr.eval_epoch(params, batches)
+        for i, b in enumerate(batches):
+            m = tr.eval_step(params, b)
+            for k in m:
+                np.testing.assert_allclose(
+                    np.asarray(stacked_ms[k][i]), np.asarray(m[k]),
+                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+    def test_eval_epoch_under_dp(self, tiny_edos):
+        """eval_epoch under the DP mesh matches the single-device result."""
+        samples = synthetic_edos_samples(16, seed=9)
+        loader = GraphLoader(samples, batch_size=8)
+        batches = list(loader)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+        tr1 = Trainer(model)
+        params = tr1.init_state(batches[0]).params
+        ms1 = tr1.eval_epoch(params, batches)
+
+        mesh = make_mesh(axes=("data",))
+        tr8 = Trainer(model, mesh=mesh)
+        ms8 = tr8.eval_epoch(params, batches)
+        for k in ms1:
+            np.testing.assert_allclose(np.asarray(ms1[k]),
+                                       np.asarray(ms8[k]),
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
+
     def test_fused_adamw_matches_optax(self):
         """The shape-grouped fused AdamW (train/fused_adamw.py, the default
         optimizer) must reproduce the optax.adamw trajectory — same torch
