@@ -115,10 +115,20 @@ def _bwd_kernel(s_ref, r_ref, m_ref, sp_ref, dp_ref, ep_ref, lns_ref, lnb_ref,
                 gw1_ref, gb1_ref, *, a_pad: int):
     e_idx = pl.program_id(1)
 
+    b_idx = pl.program_id(0)
+
+    # per-graph node grads: zeroed at each graph's first edge tile
     @pl.when(e_idx == 0)
     def _zero():
         gsp_ref[:] = jnp.zeros_like(gsp_ref)
         gdp_ref[:] = jnp.zeros_like(gdp_ref)
+
+    # parameter grads accumulate across the WHOLE grid (batch AND edge
+    # tiles) into a single VMEM-resident block — one [M, H] buffer instead
+    # of B of them in HBM plus an outer sum (the index maps are constant, so
+    # Mosaic keeps the blocks resident between grid steps)
+    @pl.when((b_idx == 0) & (e_idx == 0))
+    def _zero_params():
         glns_ref[:] = jnp.zeros_like(glns_ref)
         glnb_ref[:] = jnp.zeros_like(glnb_ref)
         galpha_ref[:] = jnp.zeros_like(galpha_ref)
@@ -180,9 +190,11 @@ def _bwd_kernel(s_ref, r_ref, m_ref, sp_ref, dp_ref, ep_ref, lns_ref, lnb_ref,
 
 def _pick_tile_e(e: int) -> int:
     """One edge tile per graph when it fits VMEM comfortably (grid (B, 1):
-    fewer kernel invocations and zero tile-padding waste — measured 24.5 vs
-    31.8 us/call fwd at the flagship E=384 against fixed 256), else 512."""
-    return min(512, _round_up(e, 128))
+    fewer kernel invocations and zero tile-padding waste — measured fwd
+    24.5 vs 31.8 us/call at the flagship E=384, and 38.0 vs 44.7/48.7 at the
+    scaled E=768, each against fixed tiles), else 512 to bound VMEM."""
+    t = _round_up(e, 128)
+    return t if t <= 1024 else 512
 
 
 @functools.partial(jax.jit, static_argnames=("tile_e",))
@@ -272,8 +284,6 @@ def _fused_bwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
     blk_e = lambda w: pl.BlockSpec((1, tile_e, w), lambda bi, ei: (bi, ei, 0), memory_space=pltpu.VMEM)
     blk_n = lambda w: pl.BlockSpec((1, a_pad, w), lambda bi, ei: (bi, 0, 0), memory_space=pltpu.VMEM)
     blk_vec = lambda w: pl.BlockSpec((1, w), lambda bi, ei: (0, 0), memory_space=pltpu.VMEM)
-    # per-batch-program accumulated param grads are summed across b outside
-    blk_vec_b = lambda w: pl.BlockSpec((1, 1, w), lambda bi, ei: (bi, 0, 0), memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, a_pad=a_pad),
@@ -290,28 +300,31 @@ def _fused_bwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
         ],
         out_specs=[
             blk_n(m), blk_n(m), blk_e(m),
-            blk_vec_b(m), blk_vec_b(m),
-            pl.BlockSpec((1, 1, 1), lambda bi, ei: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, h), lambda bi, ei: (bi, 0, 0), memory_space=pltpu.VMEM),
-            blk_vec_b(h),
+            # parameter grads: ONE block accumulated across the whole grid
+            # (constant index map -> VMEM-resident; zeroed at (0, 0))
+            pl.BlockSpec((1, 1, m), lambda bi, ei: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi, ei: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda bi, ei: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, h), lambda bi, ei: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda bi, ei: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, a_pad, m), jnp.float32),
             jax.ShapeDtypeStruct((b, a_pad, m), jnp.float32),
             jax.ShapeDtypeStruct((b, e_pad, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, m, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, h), jnp.float32),
         ],
         interpret=_interpret(),
     )(s, r, mk, sp, dp, ep, ln_scale[None], ln_bias[None], alpha[None, :1],
       w1, geo, gag)
     gsp, gdp, gep, glns, glnb, galpha, gw1, gb1 = outs
     return (gsp[:, :a], gdp[:, :a], gep[:, :e],
-            glns.sum(axis=(0, 1)), glnb.sum(axis=(0, 1)),
-            galpha.sum().reshape(1), gw1.sum(axis=0), gb1.sum(axis=(0, 1)))
+            glns[0, 0], glnb[0, 0],
+            galpha.reshape(1), gw1[0], gb1[0, 0])
 
 
 @jax.custom_vjp
