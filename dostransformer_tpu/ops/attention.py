@@ -149,8 +149,91 @@ def _fused_fwd(q, k, v, bias):
     return o, (q, k, v, bias)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, precision,
+                     nb: int):
+    # recompute-in-kernel backward: the [Lq, Lk] score/softmax tiles and the
+    # five matmuls stay in VMEM. MEASURED NEGATIVE at the flagship shapes
+    # (opt-in via DOSTPU_ATTN_PALLAS_BWD=1): the kernel itself runs 13.6
+    # us/call (81.5 us/step for 6 calls) and removes ~90 us of XLA fusions,
+    # but the lane-alignment pad of 4 inputs and the un-pad of 3 outputs per
+    # call adds ~55 us of copies — net step time 1088 -> 1112 us. The XLA
+    # composition stays the default; revisit if shapes grow to tile
+    # boundaries (Lq multiple of 8 AND Lk/D multiples of 128 make the pads
+    # free).
+    for i in range(nb):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i]
+        g = g_ref[i]
+        s = jax.lax.dot(q, k.T, preferred_element_type=jnp.float32,
+                        precision=precision) * scale + bias_ref[i]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)       # f32 [Lq, Lk]
+        pc = p.astype(v.dtype)
+        dv_ref[i] = jax.lax.dot(pc.T, g, preferred_element_type=jnp.float32,
+                                precision=precision).astype(dv_ref.dtype)
+        dp = jax.lax.dot(g, v.T, preferred_element_type=jnp.float32,
+                         precision=precision)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(q.dtype)
+        dq_ref[i] = (jax.lax.dot(dsc, k, preferred_element_type=jnp.float32,
+                                 precision=precision)
+                     * scale).astype(dq_ref.dtype)
+        dk_ref[i] = (jax.lax.dot(dsc.T, q, preferred_element_type=jnp.float32,
+                                 precision=precision)
+                     * scale).astype(dk_ref.dtype)
+
+
+@jax.jit
+def _fused_attention_bwd(q, k, v, bias, g):
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    precision = (jax.lax.Precision.HIGHEST
+                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
+                 else jax.lax.Precision.DEFAULT)
+    lq_pad = _round_up(lq, 8)
+    lk_pad = _round_up(lk, 128)
+    d_pad = _round_up(d, 128)
+    nb = next(n for n in (4, 2, 1) if b % n == 0)
+
+    qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
+    kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
+    vb = jnp.zeros((b, lk_pad, d_pad), v.dtype).at[:, :lk, :d].set(v)
+    gb = jnp.zeros((b, lq_pad, d_pad), g.dtype).at[:, :lq, :d].set(g)
+    # padded keys masked out; padded-query rows have g == 0 so every one of
+    # their contributions cancels
+    biasb = jnp.full((b, 1, lk_pad), NEG_INF,
+                     jnp.float32).at[:, 0, :lk].set(bias)
+
+    blk = lambda l: pl.BlockSpec((nb, l, d_pad), lambda bi: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, precision=precision,
+                          nb=nb),
+        grid=(b // nb,),
+        in_specs=[blk(lq_pad), blk(lk_pad), blk(lk_pad),
+                  pl.BlockSpec((nb, 1, lk_pad), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  blk(lq_pad)],
+        out_specs=[blk(lq_pad), blk(lk_pad), blk(lk_pad)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, d_pad), v.dtype),
+        ],
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
+    )(qb, kb, vb, biasb, gb)
+    return dq[:, :lq, :d], dk[:, :lk, :d], dv[:, :lk, :d]
+
+
 def _fused_bwd(res, g):
     q, k, v, bias = res
+    if os.environ.get("DOSTPU_ATTN_PALLAS_BWD") == "1":
+        dq, dk, dv = _fused_attention_bwd(q, k, v, bias, g)
+        return dq, dk, dv, None
     d = q.shape[-1]
     scale = d ** -0.5
     s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]

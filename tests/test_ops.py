@@ -92,6 +92,25 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_fused_gradients_pallas_bwd(self, monkeypatch):
+        """Opt-in Pallas backward kernel (DOSTPU_ATTN_PALLAS_BWD=1; kept
+        non-default after measuring the pad/un-pad copies cost more than the
+        removed XLA fusions — see _attn_bwd_kernel) must match the jnp
+        backward."""
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")
+        rng = np.random.RandomState(4)
+        b, lq, lk, d = 4, 16, 24, 64
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.2)
+        loss = lambda *a: (fused_attention(*a, mask) ** 2).sum()
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD")
+        g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
 
 class TestGeometry:
     # --- transcribed e3nn goldens ------------------------------------------
