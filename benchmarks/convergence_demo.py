@@ -15,7 +15,11 @@ held-out RMSE 0.195 vs 0.257 baseline, r^2 > 0.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
@@ -74,23 +78,31 @@ def main(argv=None):
                                dtype=args.dtype)
     trainer = Trainer(model, tx=make_adamw(1e-4))
     state = trainer.init_state(next(iter(loader)), seed=0)
-    rng = jax.random.PRNGKey(0)
+    base = jax.random.PRNGKey(0)
 
+    # production cadence: one multi-epoch dispatch per eval interval (the
+    # tunnel's fixed per-dispatch RTT would otherwise dominate a 400-epoch
+    # demo); data order identical to per-epoch dispatches by construction
+    import jax.numpy as jnp
+
+    interval = max(args.epochs // 4, 1)
     t0 = time.perf_counter()
-    for epoch in range(args.epochs):
-        state, losses, rng = trainer.train_epoch_device(state, dds, rng)
-        if (epoch + 1) % max(args.epochs // 4, 1) == 0:
-            acc = MetricAccumulator()
-            for b in vloader:
-                acc.update(trainer.eval_step(state.params, b))
-            r = acc.result()
-            print(f"epoch {epoch + 1}: train loss "
-                  f"{float(np.asarray(losses).mean()):.4f} | held-out rmse "
-                  f"{r['rmse']:.4f} r2 {r['r2']:.4f} | mean-predictor "
-                  f"baseline {baseline:.4f} | {time.perf_counter() - t0:.0f}s",
-                  flush=True)
+    for start in range(0, args.epochs, interval):
+        chunk = min(interval, args.epochs - start)
+        keys = jnp.stack([jax.random.fold_in(base, e)
+                          for e in range(start, start + chunk)])
+        state, losses = trainer.train_epochs_device(state, dds, keys)
+        acc = MetricAccumulator()
+        for b in vloader:
+            acc.update(trainer.eval_step(state.params, b))
+        r = acc.result()
+        print(f"epoch {start + chunk}: train loss "
+              f"{float(np.asarray(losses)[-1].mean()):.4f} | held-out rmse "
+              f"{r['rmse']:.4f} r2 {r['r2']:.4f} | mean-predictor "
+              f"baseline {baseline:.4f} | {time.perf_counter() - t0:.0f}s",
+              flush=True)
     return {"rmse": r["rmse"], "r2": r["r2"], "baseline": baseline,
-            "train_loss": float(np.asarray(losses).mean())}
+            "train_loss": float(np.asarray(losses)[-1].mean())}
 
 
 if __name__ == "__main__":
