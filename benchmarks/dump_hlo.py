@@ -58,8 +58,7 @@ def main():
         hits = []
         for line in txt.splitlines():
             ls = line.strip()
-            if re.match(rf"%?{pat}[.\d]*\s*=", ls) or (
-                    pat == "copy" and re.match(r"%?copy[.\d]*\s*=", ls)):
+            if re.match(rf"%?{pat}[.\d]*\s*=", ls):
                 hits.append(ls[:220])
         print(f"\n=== {pat}: {len(hits)} ops ===")
         for h in hits[:40]:

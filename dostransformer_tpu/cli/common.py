@@ -238,7 +238,9 @@ def run_training(
             state, losses = trainer.train_epoch(state, batches)
             n_steps += len(batches)
             losses, chunk = losses[None], 1
-        epoch_losses = losses.mean(axis=1)
+        # ONE fetch for the whole chunk (a float() per epoch would pay the
+        # host round trip chunk times, defeating the single-dispatch cadence)
+        epoch_losses = np.asarray(losses.mean(axis=1))
         for i in range(chunk):
             mean_loss = float(epoch_losses[i])
             sys.stdout.write(

@@ -91,6 +91,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_nb(b: int, per_elem_bytes: int) -> int:
+    """Batch elements per kernel invocation: the per-element matmuls are far
+    below MXU saturation at this workload's shapes, so batching amortizes
+    invocation overhead — but bounded by a VMEM budget so large key counts
+    degrade to fewer elements per invocation instead of failing to
+    compile."""
+    budget = 8 * 1024 * 1024  # of ~16 MB VMEM; leaves room for pipelining
+                              # (flagship fwd: 4 x 1.31 MB -> nb=4; the
+                              # docstring's 1k-key envelope: 4.23 MB/elem ->
+                              # nb=1 instead of a Mosaic VMEM OOM)
+    for n in (4, 2, 1):
+        if b % n == 0 and n * per_elem_bytes <= budget:
+            return n
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
     b, lq, d = q.shape
@@ -111,9 +127,11 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
     lq_pad = _round_up(lq_pad, tq)
     lk_pad = _round_up(lk, 128)
     d_pad = _round_up(d, 128)
-    # batch elements per invocation, VMEM-bounded (k/v/q/o tiles, f32 worst
-    # case): 4 covers the flagship shapes ([8|16, 201, 256]) comfortably
-    nb = next(n for n in (4, 2, 1) if b % n == 0)
+    # q/o blocks + k/v blocks at operand itemsize, plus the f32 score and
+    # softmax tiles
+    per_elem = (2 * tq * d_pad + 2 * lk_pad * d_pad) * q.dtype.itemsize \
+        + 2 * tq * lk_pad * 4
+    nb = _pick_nb(b, per_elem)
 
     qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
     kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
@@ -197,7 +215,11 @@ def _fused_attention_bwd(q, k, v, bias, g):
     lq_pad = _round_up(lq, 8)
     lk_pad = _round_up(lk, 128)
     d_pad = _round_up(d, 128)
-    nb = next(n for n in (4, 2, 1) if b % n == 0)
+    # q/g/dq blocks + k/v/dk/dv blocks at operand itemsize, plus four f32
+    # [Lq, Lk] tiles (s, p, dp, ds)
+    per_elem = (3 * lq_pad * d_pad + 4 * lk_pad * d_pad) * q.dtype.itemsize \
+        + 4 * lq_pad * lk_pad * 4
+    nb = _pick_nb(b, per_elem)
 
     qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
     kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)

@@ -62,7 +62,7 @@ class FusedAdamW:
                  mu_dtype=jnp.bfloat16):
         self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
         self.weight_decay = weight_decay
-        self.mu_dtype = mu_dtype if mu_dtype is not None else None
+        self.mu_dtype = mu_dtype        # None = store mu at param dtype
         self._meta: _GroupMeta | None = None
 
     # -- grouping -------------------------------------------------------------

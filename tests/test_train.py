@@ -374,10 +374,11 @@ class TestDeviceDataset:
                                        rtol=2e-4, atol=1e-6, err_msg=k)
 
     def test_fused_adamw_matches_optax(self):
-        """The shape-grouped fused AdamW (train/fused_adamw.py, the default
-        optimizer) must reproduce the optax.adamw trajectory — same torch
-        semantics (decoupled wd on all params, bf16 first moment), different
-        kernel layout only."""
+        """The shape-grouped fused AdamW (train/fused_adamw.py — OPT-IN, the
+        default stays optax after it measured slower end-to-end) must
+        reproduce the optax.adamw trajectory — same torch semantics
+        (decoupled wd on all params, bf16 first moment), different kernel
+        layout only."""
         from dostransformer_tpu.data.graph import collate
         from dostransformer_tpu.train.fused_adamw import FusedAdamW
         from dostransformer_tpu.train.trainer import make_adamw
