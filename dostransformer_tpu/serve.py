@@ -25,14 +25,21 @@ from dostransformer_tpu.models.registry import build_model
 
 
 class Predictor:
-    """Batched DOS inference over fixed-shape buckets."""
+    """Batched DOS inference over fixed-shape buckets.
+
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh`` over a ``'data'`` axis, e.g.
+    from :func:`dostransformer_tpu.parallel.mesh.make_mesh`) to shard each
+    inference batch over the devices — the pod serving layout: params
+    replicated, batch split over ICI, no collectives needed in the forward.
+    ``batch_size`` must then divide by the mesh size."""
 
     def __init__(self, model, params, batch_size: int = 8,
-                 clamp: bool = False):
+                 clamp: bool = False, mesh=None):
         self.model = model
         self.params = params
         self.batch_size = batch_size
         self.clamp = clamp  # eDOS eval clamps predictions at 0 (utils.py:76)
+        self.mesh = mesh
 
         def forward(params, batch):
             out = model.apply({"params": params}, batch, deterministic=True)
@@ -44,7 +51,22 @@ class Predictor:
                 dos = jax.numpy.where(dos < 0, 0.0, dos)
             return dos
 
-        self._forward = jax.jit(forward)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert batch_size % mesh.devices.size == 0, (
+                f"batch_size {batch_size} must divide over the "
+                f"{mesh.devices.size}-device mesh")
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._param_sharding = NamedSharding(mesh, P())
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, self._param_sharding), params)
+            self._forward = jax.jit(
+                forward, in_shardings=(self._param_sharding,
+                                       self._batch_sharding),
+                out_shardings=self._batch_sharding)
+        else:
+            self._forward = jax.jit(forward)
 
     @classmethod
     def from_checkpoint(

@@ -39,3 +39,28 @@ class TestPredictor:
         p2 = Predictor(model, params, batch_size=6)
         np.testing.assert_allclose(p1.predict(samples), p2.predict(samples),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMeshServing:
+    def test_mesh_predictions_match_single_device(self):
+        """Predictor(mesh=...) shards each inference batch over the 'data'
+        axis (params replicated — the pod serving layout) and must produce
+        the same spectra as the single-device path."""
+        import jax
+
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.parallel.mesh import make_mesh
+
+        samples = synthetic_phdos_samples(12, seed=11)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        params = model.init(jax.random.PRNGKey(0),
+                            collate(samples[:4]))["params"]
+
+        p1 = Predictor(model, params, batch_size=8)
+        mesh = make_mesh(axes=("data",))
+        p8 = Predictor(model, params, batch_size=8, mesh=mesh)
+        d1 = p1.predict(samples)
+        d8 = p8.predict(samples)
+        assert d8.shape == (12, 51)
+        np.testing.assert_allclose(d1, d8, rtol=2e-4, atol=1e-6)
