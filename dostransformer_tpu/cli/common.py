@@ -87,6 +87,10 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="enable float64 (CPU parity debugging only — the "
                         "reference trains phDOS in f64, main_phDOS.py:14-16; "
                         "TPUs have no native f64, SURVEY.md §7.3-2)")
+    p.add_argument("--compile_cache", type=str, default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: the "
+                        "first full-model TPU compile takes minutes; caching "
+                        "the executables makes repeat runs start in seconds")
     return p
 
 
@@ -118,12 +122,19 @@ def run_training(
     x64: bool = False,
     remat: bool = False,
     host_loader: bool = False,
+    compile_cache: Optional[str] = None,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
     if x64:
         jax.config.update("jax_enable_x64", True)
+    if compile_cache:
+        # persistent executable cache: repeat runs of the same config skip
+        # the minutes-long first compile (cache keys include topology and
+        # compiler version, so stale entries are misses, never corruption)
+        jax.config.update("jax_compilation_cache_dir", compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Pallas kernels run under data parallelism too: the DP train step is a
     # shard_map over 'data', so each device's pallas_call sees its local
     # batch shard (validated: tests/test_train.py

@@ -78,7 +78,8 @@ def main(argv=None):
                           debug_nans=args.debug_nans,
                           x64=args.x64,
                           remat=args.remat,
-                          host_loader=args.host_loader)
+                          host_loader=args.host_loader,
+                          compile_cache=args.compile_cache)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result
