@@ -61,6 +61,18 @@ class TestCLI:
         assert np.isfinite(result["test"]["rmse"])
         assert (tmp_path / "experiments_GraphNetwork.txt").exists()
 
+    def test_compile_cache_flag(self, tmp_path):
+        """--compile_cache persists XLA executables; a repeat run hits the
+        cache (non-empty dir) and reproduces the same metrics."""
+        cache = tmp_path / "xla_cache"
+        flags = _common_flags(tmp_path,
+                              extra=("--compile_cache", str(cache)))
+        r1 = main_phdos.main(flags)
+        entries = list(cache.iterdir())
+        assert entries, "compilation cache is empty after a run"
+        r2 = main_phdos.main(flags)
+        assert r2["test"]["rmse"] == pytest.approx(r1["test"]["rmse"])
+
     def test_bad_embedder_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="Inappropriate model name"):
             main_phdos.main(_common_flags(tmp_path, ["--embedder", "nope"]))
