@@ -120,6 +120,53 @@ def main():
     for k, v in sorted(full.items(), key=lambda kv: -kv[1])[: args.top]:
         print(f"  {v/n_steps:9.1f} us/step  {k[:110]}")
 
+    # lane-aware occupancy: ops on different device lanes (compute vs DMA)
+    # OVERLAP — summed durations overcount. Report per-lane busy time inside
+    # the while-loop span; the busiest (compute) lane's idle fraction is the
+    # true scheduling-bubble number.
+    tid_names = {(e.get("pid"), e.get("tid")): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
+    span_lo, span_hi = None, None
+    lanes = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = e.get("dur", 0)
+        if not dur:
+            continue
+        ts = e.get("ts", 0)
+        if e.get("name", "").startswith("while"):
+            span_lo = ts if span_lo is None else min(span_lo, ts)
+            span_hi = max(span_hi or 0, ts + dur)
+            continue  # the while envelope is not a lane occupant
+        key = (e.get("pid"), e.get("tid"))
+        lanes.setdefault(key, []).append((ts, ts + dur))
+    if span_lo is not None:
+        span = span_hi - span_lo
+        print(f"\nlane occupancy over the while span ({span/1e3:.2f} ms):")
+        for key, ivals in sorted(lanes.items(),
+                                 key=lambda kv: -sum(b - a for a, b in kv[1])):
+            ivals = sorted((max(a, span_lo), min(b, span_hi))
+                           for a, b in ivals)
+            busy, cur_a, cur_b = 0.0, None, None
+            for a, b in ivals:
+                if b <= a:
+                    continue
+                if cur_b is None or a > cur_b:
+                    if cur_b is not None:
+                        busy += cur_b - cur_a
+                    cur_a, cur_b = a, b
+                else:
+                    cur_b = max(cur_b, b)
+            if cur_b is not None:
+                busy += cur_b - cur_a
+            if busy / span < 0.02:
+                continue
+            nm = tid_names.get(key, str(key))
+            print(f"  {busy/span*100:5.1f}% busy "
+                  f"({(span-busy)/n_steps:6.1f} us/step idle)  {nm}")
+
 
 if __name__ == "__main__":
     main()
