@@ -91,6 +91,10 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="persistent XLA compilation cache directory: the "
                         "first full-model TPU compile takes minutes; caching "
                         "the executables makes repeat runs start in seconds")
+    p.add_argument("--tensorboard", type=str, default=None, metavar="DIR",
+                   help="also write TensorBoard scalar curves (loss, valid/"
+                        "test metrics) to DIR — dependency-free event writer "
+                        "(train/tensorboard.py)")
     return p
 
 
@@ -123,6 +127,7 @@ def run_training(
     remat: bool = False,
     host_loader: bool = False,
     compile_cache: Optional[str] = None,
+    tensorboard: Optional[str] = None,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
     if debug_nans:
@@ -172,6 +177,11 @@ def run_training(
     state = trainer.init_state(next(iter(loader)), seed=cfg.seed)
     tracker = BestTracker(es=cfg.es, eval_every=cfg.eval_every)
     logger = JSONLLogger(cfg.log_jsonl)
+    tb = None
+    if tensorboard:
+        from dostransformer_tpu.train.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(tensorboard)
     ckpt = None
     if cfg.checkpoint_dir and cfg.checkpoint_every:
         from dostransformer_tpu.train.checkpoint import CheckpointManager
@@ -259,15 +269,23 @@ def run_training(
                 f"loss {mean_loss:.4f} ")
             sys.stdout.flush()
             logger.log({"epoch": epoch + i + 1, "loss": mean_loss})
+            if tb is not None:
+                tb.add_scalars(epoch + i + 1, {"train/loss": mean_loss})
         epoch += chunk
 
         if epoch % cfg.eval_every == 0:
             vm = run_eval(valid_loader)
             logger.log({"epoch": epoch, "valid": vm})
+            if tb is not None:
+                tb.add_scalars(epoch, {f"valid/{k}": v
+                                       for k, v in vm.items()})
             if tracker.update(epoch, vm["rmse"], vm["mae"]):
                 tm = run_eval(test_loader)
                 tracker.record_test(tm)
                 logger.log({"epoch": epoch, "test": tm})
+                if tb is not None:
+                    tb.add_scalars(epoch, {f"test/{k}": v
+                                           for k, v in tm.items()})
                 print(f"\n[eval {epoch}] valid rmse {vm['rmse']:.4f} "
                       f"mae {vm['mae']:.4f} | test rmse {tm['rmse']:.4f} "
                       f"r2 {tm['r2']:.4f}")
@@ -304,6 +322,8 @@ def run_training(
     }
     logger.log({"final": result})
     logger.close()
+    if tb is not None:
+        tb.close()
     _write_results_line(task, cfg, result, results_dir)
     return result
 

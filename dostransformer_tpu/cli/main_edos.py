@@ -61,7 +61,8 @@ def main(argv=None):
                           x64=args.x64,
                           remat=args.remat,
                           host_loader=args.host_loader,
-                          compile_cache=args.compile_cache)
+                          compile_cache=args.compile_cache,
+                          tensorboard=args.tensorboard)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

@@ -73,6 +73,23 @@ class TestCLI:
         r2 = main_phdos.main(flags)
         assert r2["test"]["rmse"] == pytest.approx(r1["test"]["rmse"])
 
+    def test_tensorboard_flag(self, tmp_path):
+        """--tensorboard writes an event file whose scalar curves match the
+        run's logged losses."""
+        from dostransformer_tpu.train.tensorboard import read_events
+
+        tb = tmp_path / "tb"
+        result = main_phdos.main(_common_flags(
+            tmp_path, extra=("--tensorboard", str(tb))))
+        files = list(tb.iterdir())
+        assert len(files) == 1
+        events = read_events(str(files[0]))
+        losses = {s: v["train/loss"] for s, v in events if "train/loss" in v}
+        assert set(losses) == {1, 2}
+        rmses = {s: v["valid/rmse"] for s, v in events if "valid/rmse" in v}
+        assert set(rmses) == {1, 2}
+        assert np.isfinite(list(losses.values())).all()
+
     def test_bad_embedder_rejected(self, tmp_path):
         with pytest.raises(ValueError, match="Inappropriate model name"):
             main_phdos.main(_common_flags(tmp_path, ["--embedder", "nope"]))

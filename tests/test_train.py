@@ -334,6 +334,23 @@ class TestDeviceDataset:
             out.append(np.asarray(losses))
         np.testing.assert_array_equal(out[0], out[1])
 
+    def test_tensorboard_writer_roundtrip(self, tmp_path):
+        """The dependency-free TensorBoard writer must produce valid TFRecord
+        framing (crc-checked) and Event protos that parse back to the
+        written scalars (train/tensorboard.py)."""
+        from dostransformer_tpu.train.tensorboard import (SummaryWriter,
+                                                          read_events)
+
+        w = SummaryWriter(str(tmp_path))
+        w.add_scalars(1, {"train/loss": 0.5, "valid/rmse": 0.25})
+        w.add_scalars(2, {"train/loss": 0.25})
+        w.close()
+
+        events = read_events(w.path)   # crc-verified parse
+        assert events[0][1] == {}      # file_version header event
+        assert events[1] == (1, {"train/loss": 0.5, "valid/rmse": 0.25})
+        assert events[2] == (2, {"train/loss": 0.25})
+
     def test_eval_epoch_matches_per_batch(self):
         """Scan-compiled eval (one dispatch) must reproduce per-batch
         eval_step outputs exactly — the CLI's run_eval contract."""
