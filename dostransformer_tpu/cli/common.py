@@ -26,7 +26,7 @@ from dostransformer_tpu.config import TrainConfig, exp_get_name
 from dostransformer_tpu.data.datasets import GraphLoader
 from dostransformer_tpu.data.graph import GraphSample
 from dostransformer_tpu.models.registry import build_model
-from dostransformer_tpu.parallel.mesh import make_mesh
+from dostransformer_tpu.parallel.mesh import initialize_multihost, make_mesh
 from dostransformer_tpu.train.early_stop import BestTracker
 from dostransformer_tpu.train.logging import JSONLLogger, write_experiment_result
 from dostransformer_tpu.train.metrics import MetricAccumulator
@@ -151,6 +151,12 @@ def run_training(
                         use_pallas=use_pallas, dtype=cfg.dtype, remat=remat,
                         use_fused_mp=use_fused_mp)
     mesh = make_mesh(axes=("data",)) if data_parallel else None
+    if mesh is not None and cfg.batch_size % mesh.devices.size != 0:
+        raise SystemExit(
+            f"--data_parallel: --batch_size {cfg.batch_size} is not "
+            f"divisible by the {mesh.devices.size} visible devices; each "
+            f"device takes batch/{mesh.devices.size} samples — pick a "
+            f"multiple of {mesh.devices.size}")
     is_edos = task == "edos"
     trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
                       beta=cfg.beta, clamp_targets=is_edos,
@@ -194,11 +200,20 @@ def run_training(
         tracker = rtracker or tracker
         print(f"resumed from epoch {start_epoch}")
 
-    def run_eval(loader_, artifacts=None):
+    # Collate + stack + upload each eval split ONCE; every eval interval
+    # reuses the device-resident stack (re-listing the loader per eval would
+    # repeat the host collation work the training path eliminated with
+    # DeviceDataset).
+    from dostransformer_tpu.train.trainer import stack_batches
+
+    valid_batches, test_batches = list(valid_loader), list(test_loader)
+    valid_stacked = stack_batches(valid_batches)
+    test_stacked = stack_batches(test_batches)
+
+    def run_eval(batches, stacked, artifacts=None):
         # whole eval set in ONE dispatch (scan-compiled; Trainer.eval_epoch),
         # then accumulate per batch on host from the fetched stack
-        batches = list(loader_)
-        ms = trainer.eval_epoch(state.params, batches)
+        ms = trainer.eval_epoch(state.params, stacked)
         ms = jax.tree.map(lambda x: np.asarray(x), ms)
         acc = MetricAccumulator()
         for i, batch in enumerate(batches):
@@ -274,13 +289,13 @@ def run_training(
         epoch += chunk
 
         if epoch % cfg.eval_every == 0:
-            vm = run_eval(valid_loader)
+            vm = run_eval(valid_batches, valid_stacked)
             logger.log({"epoch": epoch, "valid": vm})
             if tb is not None:
                 tb.add_scalars(epoch, {f"valid/{k}": v
                                        for k, v in vm.items()})
             if tracker.update(epoch, vm["rmse"], vm["mae"]):
-                tm = run_eval(test_loader)
+                tm = run_eval(test_batches, test_stacked)
                 tracker.record_test(tm)
                 logger.log({"epoch": epoch, "test": tm})
                 if tb is not None:
@@ -303,7 +318,7 @@ def run_training(
         from dostransformer_tpu.train.artifacts import EvalArtifacts
 
         art = EvalArtifacts()
-        run_eval(test_loader, artifacts=art)
+        run_eval(test_batches, test_stacked, artifacts=art)
         mp_by_id = {}
         for s in list(train) + list(valid) + list(test):
             mp_by_id[int(s.sample_id)] = s.mp_id
@@ -353,3 +368,13 @@ def _write_results_line(task: str, cfg: TrainConfig, result: dict,
 def resolve_device_info() -> str:
     d = jax.devices()[0]
     return f"{jax.default_backend()}:{d.device_kind} x{len(jax.devices())}"
+
+
+def maybe_init_multihost(data_parallel: bool) -> None:
+    """CLI entry hook: DCN init for --data_parallel runs. MUST run before any
+    other JAX call (jax.distributed.initialize refuses once the backend is
+    up). No-op (and backend-untouched) in a plain single-process environment;
+    raises loudly on a botched cluster init (tests/test_multihost.py)."""
+    if data_parallel and initialize_multihost():
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")

@@ -23,6 +23,7 @@ import sys
 from dostransformer_tpu.cli.common import (
     build_arg_parser,
     config_from_args,
+    maybe_init_multihost,
     resolve_device_info,
     run_training,
 )
@@ -33,6 +34,7 @@ from dostransformer_tpu.data.synthetic import synthetic_phdos_samples
 def main(argv=None):
     args = build_arg_parser("phdos").parse_args(argv)
     cfg = config_from_args(args)
+    maybe_init_multihost(args.data_parallel)  # before any other JAX call
     print(f"device: {resolve_device_info()}")
 
     if args.synthetic:

@@ -26,17 +26,26 @@ def main(argv=None):
     p.add_argument("--transformer", type=int, default=2)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each inference batch over all visible devices "
+                        "(params replicated — the pod serving layout); "
+                        "--batch_size must divide by the device count")
     args = p.parse_args(argv)
 
     from dostransformer_tpu.data.io import load_samples
     from dostransformer_tpu.serve import Predictor
 
+    mesh = None
+    if args.data_parallel:
+        from dostransformer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axes=("data",))
     samples = load_samples(args.input)
     predictor = Predictor.from_checkpoint(
         args.checkpoint_dir, task=args.task, example=samples[0],
         embedder=args.embedder, layers=args.layers,
         t_layers=args.transformer, hidden=args.hidden,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, mesh=mesh)
     dos = predictor.predict(samples)
     np.savez_compressed(
         args.output, dos=dos,

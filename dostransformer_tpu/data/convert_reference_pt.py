@@ -22,7 +22,7 @@ import numpy as np
 from dostransformer_tpu.data.graph import GraphSample
 
 _FIELDS = ("x", "edge_index", "edge_attr", "y", "y_ft", "y_max", "glob",
-           "band_gap", "efermi", "system", "mp_id")
+           "band_gap", "efermi", "system", "mp_id", "coords", "z")
 
 
 class _Stub:
@@ -113,6 +113,11 @@ def convert(pt_path: str, out_path: Optional[str] = None) -> List[GraphSample]:
             y_max=float(f["y_max"]) if "y_max" in f else None,
             glob=(np.asarray(f["glob"], np.float32).reshape(-1)
                   if "glob" in f else None),
+            # reference Data carries coords [n_atoms, 3] and one-hot z
+            # (mat2graph.py:143) — data fidelity, no model consumes them
+            coords=(np.asarray(f["coords"], np.float32)
+                    if "coords" in f else None),
+            z=(np.asarray(f["z"], np.float32) if "z" in f else None),
             band_gap=float(f["band_gap"]) if "band_gap" in f else None,
             efermi=float(f["efermi"]) if "efermi" in f else None,
             system=int(f.get("system", 6)),

@@ -136,6 +136,14 @@ def build_sample(
     x = elem_feats[numbers - 1]                        # [n, 200]
     x = np.vstack([x, np.zeros((1, x.shape[1]))])      # zero prompt node
 
+    # data-fidelity fields of the reference Data (mat2graph.py:143):
+    # coords [n_atoms, 3] cartesian; z one-hot(100) atom type — both exclude
+    # the prompt node (one row fewer than x), and no model consumes them.
+    # (The reference's coords path dedupes identical coordinate strings via a
+    # dict, mat2graph.py:196-203 — a latent defect that would drop rows for
+    # coincident sites; we keep one row per atom.)
+    z_onehot = np.eye(100, dtype=np.float32)[numbers - 1]
+
     edge_index, dist = knn_edges(cart_coords, lattice, radius=radius,
                                  max_num_nbr=max_num_nbr)
     edge_attr = gaussian_expand(dist, dmax=radius)
@@ -147,6 +155,8 @@ def build_sample(
         x=x.astype(np.float32),
         edge_index=edge_index,
         edge_attr=edge_attr.astype(np.float32),
+        coords=cart_coords.astype(np.float32),
+        z=z_onehot,
         glob=np.asarray(glob, np.float32),
         y=(y_ft / y_ft.max()).astype(np.float32),      # y_ft is the train target
         y_raw=(y / y.max()).astype(np.float32),

@@ -56,7 +56,16 @@ class GraphSample:
     edge_attr: Optional[np.ndarray] = None    # [e, Fe] (eDOS Gaussian expansion)
     edge_vec: Optional[np.ndarray] = None     # [e, 3]  (phDOS geometry)
     edge_shift: Optional[np.ndarray] = None   # [e, 3]  (phDOS, used by mlp baseline)
-    z: Optional[np.ndarray] = None            # [n, 118] one-hot type (phDOS, utils.py:294)
+    z: Optional[np.ndarray] = None            # one-hot atom type: [n, 118]
+                                              # (phDOS, utils.py:294) or
+                                              # [n_atoms, 100] (eDOS,
+                                              # mat2graph.py:143 `z` — one row
+                                              # FEWER than x: the prompt node
+                                              # has no type)
+    coords: Optional[np.ndarray] = None       # [n_atoms, 3] cartesian coords
+                                              # (eDOS mat2graph.py:143; data
+                                              # fidelity only — no model
+                                              # consumes them)
     glob: Optional[np.ndarray] = None         # [2]     (eDOS global features)
     sample_id: int = 0
     mp_id: str = ""
@@ -189,7 +198,9 @@ def collate(
         if glob is not None:
             glob[g] = s.glob
         if node_z is not None:
-            node_z[g, :n] = s.z
+            # eDOS z has n_atoms rows while x has n_atoms+1 (the prompt node
+            # carries no type, mat2graph.py:143) — fill by z's own row count
+            node_z[g, :s.z.shape[0]] = s.z
         y[g] = np.asarray(s.y, np.float32).reshape(-1)
         system[g] = s.system
         graph_mask[g] = 1.0

@@ -14,7 +14,8 @@ import numpy as np
 
 from dostransformer_tpu.data.graph import GraphSample
 
-_OPTIONAL_FIELDS = ("edge_attr", "edge_vec", "edge_shift", "z", "glob", "y_raw")
+_OPTIONAL_FIELDS = ("edge_attr", "edge_vec", "edge_shift", "z", "coords",
+                    "glob", "y_raw")
 _SCALAR_FIELDS = ("system", "sample_id", "y_max", "band_gap", "efermi")
 
 

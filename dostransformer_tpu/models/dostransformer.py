@@ -51,8 +51,10 @@ class _DOSTransformerBase(fnn.Module):
     padding: str = "mask"            # "mask" | "ref" (see GraphBatch docstring)
     use_pallas: Optional[bool] = None
     aggregation: str = "sum"         # eDOS scatter_sum; phDOS scatter_mean
-    dtype: str = "float32"           # compute dtype: float32 | bfloat16
-                                     # (params stay f32; norms/softmax run f32)
+    dtype: str = "float32"           # compute dtype: float32 | bfloat16 |
+                                     # float64 (params stay f32; norms/softmax
+                                     # run >= f32; float64 is the x64 CPU
+                                     # parity mode, reference main_phDOS.py:14-16)
     remat: bool = False              # rematerialize transformer layers +
                                      # processors in the backward pass
     use_fused_mp: Optional[bool] = None  # fused message-passing Pallas kernel
@@ -62,7 +64,8 @@ class _DOSTransformerBase(fnn.Module):
 
     @property
     def _cdtype(self):
-        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        return {"bfloat16": jnp.bfloat16,
+                "float64": jnp.float64}.get(self.dtype, jnp.float32)
 
     def _cast(self, *xs):
         out = tuple(x.astype(self._cdtype) if x is not None else None
@@ -128,7 +131,9 @@ class _DOSTransformerBase(fnn.Module):
               if key_mask is not None else None)
         both = tr_self(both, both, both, None, deterministic)
         both = tr_source(both, kv, kv, km, deterministic)
-        both = out_layer(both)[..., 0].astype(jnp.float32)        # [2B, bins]
+        # outputs widen bf16 back to f32; f64 compute stays f64
+        out_dt = jnp.promote_types(both.dtype, jnp.float32)
+        both = out_layer(both)[..., 0].astype(out_dt)             # [2B, bins]
         return both[:b], both[b:]
 
     def _key_mask(self, g: GraphBatch):
@@ -171,7 +176,9 @@ class DOSTransformerEDOS(_DOSTransformerBase):
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,
             deterministic)
-        return dos_global, x.astype(jnp.float32), dos_system
+        return (dos_global,
+                x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+                dos_system)
 
 
 class DOSTransformerPhDOS(_DOSTransformerBase):
@@ -209,4 +216,6 @@ class DOSTransformerPhDOS(_DOSTransformerBase):
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,
             deterministic)
-        return dos_global, x.astype(jnp.float32), dos_system
+        return (dos_global,
+                x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+                dos_system)

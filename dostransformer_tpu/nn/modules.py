@@ -114,7 +114,9 @@ class MLPBlock(fnn.Module):
     @fnn.compact
     def __call__(self, x, fused_mp=None):
         lin0 = TorchLinear(self.mid, name="lin0")
-        ln = fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="ln")
+        # dtype=None promotes with the f32 params: f32 stats for bf16/f32
+        # operands (standard policy), f64 for x64 CPU parity runs
+        ln = fnn.LayerNorm(epsilon=LN_EPS, dtype=None, name="ln")
         prelu = PReLU(name="prelu")
         lin1 = TorchLinear(self.out, name="lin1")
 

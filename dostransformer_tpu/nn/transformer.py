@@ -128,7 +128,10 @@ class TransformerEncoderLayer(fnn.Module):
 
     def _ffn(self, x, deterministic):
         residual = x
-        h = fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+        # dtype=None promotes the operand with the f32 params: bf16/f32
+        # inputs compute in f32 (the TPU mixed-precision policy), f64 inputs
+        # (x64 CPU parity runs) stay f64
+        h = fnn.LayerNorm(epsilon=LN_EPS, dtype=None,
                           name="ln1")(x).astype(x.dtype)
         h = jax.nn.relu(XavierLinear(4 * self.embed_dim, name="fc1")(h))
         h = fnn.Dropout(self.relu_dropout, name="relu_drop")(h, deterministic=deterministic)
@@ -144,7 +147,7 @@ class _SharedLN(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        return fnn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32,
+        return fnn.LayerNorm(epsilon=self.epsilon, dtype=None,
                              name="ln")(x).astype(x.dtype)
 
 
@@ -190,5 +193,5 @@ class TransformerEncoder(fnn.Module):
                 name=f"layer{i}",
             )(x, x_k, x_v, key_mask, deterministic)
 
-        return fnn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32,
+        return fnn.LayerNorm(epsilon=LN_EPS, dtype=None,
                              name="final_ln")(x).astype(x.dtype)

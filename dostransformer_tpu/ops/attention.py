@@ -48,10 +48,12 @@ def dot_product_attention(
     """
     d = q.shape[-1]
     scale = d ** -0.5
-    # f32 accumulation regardless of operand dtype (bf16 operands still ride
-    # the MXU natively; only the accumulator is widened)
+    # accumulate in AT LEAST f32 regardless of operand dtype (bf16 operands
+    # still ride the MXU natively; only the accumulator is widened). f64
+    # operands (x64 CPU parity runs) keep f64 accumulation.
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     scores = jnp.einsum("bqd,bkd->bqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=acc) * scale
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, :], scores, NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
@@ -59,7 +61,7 @@ def dot_product_attention(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bqk,bkd->bqd", weights, v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+                      preferred_element_type=acc).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

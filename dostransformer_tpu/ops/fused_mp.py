@@ -188,13 +188,39 @@ def _bwd_kernel(s_ref, r_ref, m_ref, sp_ref, dp_ref, ep_ref, lns_ref, lnb_ref,
                               preferred_element_type=jnp.float32)
 
 
-def _pick_tile_e(e: int) -> int:
-    """One edge tile per graph when it fits VMEM comfortably (grid (B, 1):
-    fewer kernel invocations and zero tile-padding waste — measured fwd
-    24.5 vs 31.8 us/call at the flagship E=384, and 38.0 vs 44.7/48.7 at the
-    scaled E=768, each against fixed tiles), else 512 to bound VMEM."""
-    t = _round_up(e, 128)
-    return t if t <= 1024 else 512
+def _tile_bytes(te: int, m: int, h: int, a_pad: int) -> int:
+    """Estimated live VMEM for one bwd-kernel tile (f32): ~6 [TE, m] buffers
+    (the ep/gep blocks plus the mid/act/g_* temporaries after Mosaic buffer
+    reuse), the [TE, h] g_eout block, and two [TE, a_pad] one-hots. The bwd
+    kernel dominates the fwd, so one estimator serves both."""
+    return 4 * te * (6 * m + 2 * h + 2 * a_pad)
+
+
+def _fixed_bytes(m: int, h: int, a_pad: int) -> int:
+    """Tile-independent residents: sp/dp/gsp/gdp [a_pad, m], g_agg [a_pad, h],
+    w1 + the accumulated gw1 [m, h]."""
+    return 4 * (4 * a_pad * m + a_pad * h + 2 * m * h)
+
+
+def _pick_tile_e(e: int, m: int, h: int, a_pad: int) -> int:
+    """One edge tile per graph when it fits VMEM (grid (B, 1): fewer kernel
+    invocations and zero tile-padding waste — measured fwd 24.5 vs
+    31.8 us/call at the flagship E=384/m=512, and 38.0 vs 44.7/48.7 at the
+    scaled E=768, each against fixed tiles). The tile comes from a BYTE
+    budget, not E alone: the kernel footprint scales with tile_e*m, so at
+    larger --hidden (e.g. m=1024) an unconditional 1024-edge tile would
+    exceed ~16 MB VMEM and fail to compile — degrade to smaller tiles
+    instead. The budget keeps both measured-fast single-tile configs above
+    one-tile while capping m=1024 at tile 256."""
+    budget = 14 * 1024 * 1024  # of ~16 MB VMEM
+    full = min(_round_up(e, 128), 1024)
+    cands = sorted({t for t in (full, 768, 512, 384, 256, 128) if t <= full},
+                   reverse=True)
+    fixed = _fixed_bytes(m, h, a_pad)
+    for t in cands:
+        if _tile_bytes(t, m, h, a_pad) + fixed <= budget:
+            return t
+    return 128
 
 
 @functools.partial(jax.jit, static_argnames=("tile_e",))
@@ -204,9 +230,9 @@ def _fused_fwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
     b, a, m = src_proj.shape
     e = senders.shape[1]
     h = w1.shape[1]
-    if tile_e is None:
-        tile_e = _pick_tile_e(e)
     a_pad = max(8, _round_up(a, 8))
+    if tile_e is None:
+        tile_e = _pick_tile_e(e, m, h, a_pad)
     e_pad = _round_up(e, tile_e)
 
     def pad_nodes(t):
@@ -260,9 +286,9 @@ def _fused_bwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
     b, a, m = src_proj.shape
     e = senders.shape[1]
     h = w1.shape[1]
-    if tile_e is None:
-        tile_e = _pick_tile_e(e)
     a_pad = max(8, _round_up(a, 8))
+    if tile_e is None:
+        tile_e = _pick_tile_e(e, m, h, a_pad)
     e_pad = _round_up(e, tile_e)
 
     def pad_nodes(t, width):

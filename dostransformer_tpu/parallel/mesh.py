@@ -14,6 +14,7 @@ if the model is ever scaled up.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -43,14 +44,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Env markers of a managed multi-process launch that jax.distributed can
+# auto-detect (Slurm / Open MPI / TPU pod metadata / GKE jobset). Presence of
+# any of these means "the user *is* running multi-process" — a failed init
+# must then raise, never silently degrade to single-process training on 1/N
+# of the data.
+_CLUSTER_ENV_VARS = (
+    "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+    "TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
-    """Multi-host (DCN) init. On a single host this is a no-op; on a multi-host
-    TPU pod slice jax.distributed.initialize auto-detects the topology."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except (ValueError, RuntimeError):
-        pass  # single-process environment
+                         process_id: Optional[int] = None,
+                         initialization_timeout: Optional[int] = None) -> bool:
+    """Multi-host (DCN) init via ``jax.distributed.initialize``.
+
+    Returns True if distributed runtime is (now) initialized, False for the
+    documented single-process case. Semantics:
+
+    * already initialized (``jax.process_count() > 1``) -> no-op, True;
+    * explicit args given, or a cluster launcher detected in the environment
+      (Slurm / MPI / TPU pod metadata) -> initialize; any failure RAISES —
+      a botched DCN init on a pod must not silently continue as a single
+      process training on 1/N of the data;
+    * plain single-process environment -> no-op, False.
+
+    Exercised by tests/test_multihost.py with two local CPU processes over a
+    real coordinator socket (the env has no multi-host TPU).
+    """
+    # NB: must not touch the XLA backend before jax.distributed.initialize
+    # (jax.process_count() would initialize it and the init then raises) —
+    # is_initialized() only inspects the distributed client state.
+    if jax.distributed.is_initialized():
+        return True  # already initialized
+    explicit = any(v is not None
+                   for v in (coordinator_address, num_processes, process_id))
+    in_cluster = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
+    if not explicit and not in_cluster:
+        return False  # documented single-process case
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id, **kwargs)
+    return True

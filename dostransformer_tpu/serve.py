@@ -79,9 +79,14 @@ class Predictor:
         t_layers: int = 2,
         hidden: int = 256,
         batch_size: int = 8,
+        mesh=None,
         **model_kwargs,
     ) -> "Predictor":
-        """Restore params from the training CheckpointManager layout."""
+        """Restore params from the training CheckpointManager layout.
+
+        Pass ``mesh`` to serve the restored checkpoint sharded over a 'data'
+        mesh axis (the pod serving layout) — forwarded to the constructor,
+        which replicates the params and shards each inference batch."""
         from dostransformer_tpu.data.graph import collate
         from dostransformer_tpu.train.checkpoint import CheckpointManager
         from dostransformer_tpu.train.trainer import Trainer
@@ -97,7 +102,7 @@ class Predictor:
                 f"no checkpoint found under {checkpoint_dir}")
         state, _, _ = restored
         return cls(model, state.params, batch_size=batch_size,
-                   clamp=(task == "edos"))
+                   clamp=(task == "edos"), mesh=mesh)
 
     def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
         """DOS spectra for the given samples, [N, bins], input order."""

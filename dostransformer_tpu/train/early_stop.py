@@ -27,18 +27,28 @@ class BestTracker:
     test_metrics: Optional[dict] = None
 
     def update(self, epoch: int, valid_rmse: float, valid_mae: float) -> bool:
-        """Returns True if the test set should be (re-)evaluated now
-        (the reference's three improvement branches, main_eDOS.py:140-157)."""
+        """Returns True if the test set should be (re-)evaluated now.
+
+        Exact replication of the reference's three sequential `if` branches
+        (main_eDOS.py:140-157). They are plain `if`s, not `elif`s, but the
+        first branch updates best_rmse/best_mae before the later conditions
+        are evaluated, so at most one branch ever fires; the net semantics
+        are three *strict*-inequality branches:
+          (rmse<, mae<) -> update both;  (rmse<, mae>) -> update rmse only;
+          (rmse>, mae<) -> update mae only.
+        At an exact tie in either metric (valid_rmse == best_rmse or
+        valid_mae == best_mae) NO branch fires: no best update, no test
+        eval — covered by tests/test_train.py::TestBestTracker ties."""
         run_test = False
         if valid_rmse < self.best_rmse and valid_mae < self.best_mae:
             self.best_rmse, self.best_mae = valid_rmse, valid_mae
             self.best_epoch = epoch
             run_test = True
-        elif valid_rmse < self.best_rmse:  # and valid_mae >= best_mae
+        elif valid_rmse < self.best_rmse and valid_mae > self.best_mae:
             self.best_rmse = valid_rmse
             self.best_epoch = epoch
             run_test = True
-        elif valid_mae < self.best_mae:    # and valid_rmse >= best_rmse
+        elif valid_rmse > self.best_rmse and valid_mae < self.best_mae:
             self.best_mae = valid_mae
             self.best_epoch = epoch
             run_test = True

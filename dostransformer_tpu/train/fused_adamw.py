@@ -80,6 +80,15 @@ class FusedAdamW:
         return {k: jnp.stack([leaves[i] for i in members])
                 for k, members in zip(self._meta.keys, self._meta.members)}
 
+    def _ensure_meta(self, params) -> _GroupMeta:
+        """The grouping metadata is fully derivable from the param tree, so a
+        FRESH optimizer instance can consume a checkpointed opt_state without
+        init() having run (ADVICE r2: the restore path would otherwise
+        assert). Rebuilt lazily and cached."""
+        if self._meta is None:
+            self._meta = self._build_meta(params)
+        return self._meta
+
     def init(self, params):
         """Grouped zero moments + step count. Caches the (static) grouping
         metadata on the optimizer instance."""
@@ -94,8 +103,7 @@ class FusedAdamW:
     # -- the fused update -----------------------------------------------------
     def update_params(self, grads, opt_state, params):
         """One multi-output fusion per shape group: new (params, opt_state)."""
-        meta = self._meta
-        assert meta is not None, "call init(params) first"
+        meta = self._ensure_meta(params)
         g_leaves = jax.tree.leaves(grads)
         p_leaves = list(jax.tree.leaves(params))
         count = opt_state["count"] + 1

@@ -97,17 +97,24 @@ class SummaryWriter:
 
     def __init__(self, logdir: str):
         os.makedirs(logdir, exist_ok=True)
+        # pid suffix: two runs started into the same logdir within the same
+        # second must get DISTINCT files (TensorBoard's own writers suffix a
+        # uid for the same reason); "wb" not "ab" since the name is unique
         fname = (f"events.out.tfevents.{int(time.time())}."
-                 f"{socket.gethostname()}")
+                 f"{socket.gethostname()}.{os.getpid()}")
         self.path = os.path.join(logdir, fname)
-        self._f = open(self.path, "ab")
+        self._f = open(self.path, "wb")
         self._f.write(_record(_event(time.time(),
                                      file_version="brain.Event:2")))
+        self._f.flush()
 
     def add_scalars(self, step: int, scalars: dict) -> None:
-        """Write {tag: value} at `step` (one Event, many Summary.Values)."""
+        """Write {tag: value} at `step` (one Event, many Summary.Values).
+        Flushed per call — eval-cadence writes are rare, and a crash mid-run
+        must not lose the curves recorded so far."""
         self._f.write(_record(_event(time.time(), step=step,
                                      scalars=scalars)))
+        self._f.flush()
 
     def flush(self) -> None:
         self._f.flush()

@@ -49,6 +49,10 @@ def _fake_reference_pt(path, n=3, seed=0):
         d.efermi = torch.tensor(1.5)
         d.system = torch.tensor(i % 7)
         d.mp_id = f"mp-{i}"
+        # reference Data carries coords/z too (mat2graph.py:143), one row
+        # fewer than x (no prompt-node entry)
+        d.coords = torch.tensor(rng.randn(n_atoms, 3), dtype=torch.float)
+        d.z = torch.eye(100)[torch.tensor(rng.randint(0, 100, n_atoms))]
         items.append(d)
     torch.save(items, path)
     for m in ("torch_geometric", "torch_geometric.data",
@@ -68,8 +72,14 @@ class TestConvert:
         assert s.x.shape[1] == 200 and s.edge_attr.shape[1] == 41
         assert s.y.shape == (201,) and s.glob.shape == (2,)
         assert s.mp_id == "mp-0" and s.band_gap == 0.5
+        # coords/z are carried (field-complete migration, VERDICT r2 #8):
+        # one row fewer than x (the prompt node has no coords/type)
+        assert s.coords.shape == (s.x.shape[0] - 1, 3)
+        assert s.z.shape == (s.x.shape[0] - 1, 100)
         loaded = load_samples(str(npz))
         np.testing.assert_array_equal(loaded[1].x, samples[1].x)
+        np.testing.assert_array_equal(loaded[2].coords, samples[2].coords)
+        np.testing.assert_array_equal(loaded[2].z, samples[2].z)
         # stubs must not leak into sys.modules
         assert "torch_geometric" not in sys.modules
 

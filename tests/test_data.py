@@ -287,6 +287,13 @@ class TestMatscholarTable:
         np.testing.assert_array_equal(s.x[3], 0.0)
         assert s.edge_index.shape == (2, 36)  # 12-NN per atom, prompt node none
         assert s.system == 0  # 'cubic' id (config.crystal_system_id)
+        # coords/z carried for data fidelity (mat2graph.py:143): one row per
+        # ATOM (no prompt-node entry), z = one-hot(100) of Z-1
+        np.testing.assert_allclose(s.coords, coords.astype(np.float32))
+        assert s.z.shape == (3, 100)
+        np.testing.assert_array_equal(np.argmax(s.z, axis=1),
+                                      np.asarray(numbers) - 1)
+        np.testing.assert_array_equal(s.z.sum(axis=1), 1.0)
 
 
 class TestElementBalancedSplitDifferential:

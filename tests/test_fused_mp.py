@@ -113,6 +113,30 @@ class TestFusedMP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_tile_picker_respects_vmem_budget(self):
+        """The edge tile comes from a byte budget over (m, h, a_pad), not E
+        alone (ADVICE r2): the measured-fast one-tile configs stay one-tile,
+        and larger hidden degrades to smaller tiles instead of exceeding
+        ~16 MB VMEM."""
+        from dostransformer_tpu.ops.fused_mp import (
+            _fixed_bytes,
+            _pick_tile_e,
+            _tile_bytes,
+        )
+
+        # measured one-tile-faster configs (BASELINE.md) must stay one-tile
+        assert _pick_tile_e(384, 512, 256, 32) == 384   # flagship
+        assert _pick_tile_e(768, 512, 256, 64) == 768   # scaled config
+        # larger hidden (m = 2*hidden) must degrade, and every choice must
+        # fit the budget
+        budget = 14 * 1024 * 1024
+        for e, m, h, a_pad in [(1024, 1024, 512, 64), (4096, 2048, 1024, 256),
+                               (768, 512, 256, 64), (384, 512, 256, 32)]:
+            t = _pick_tile_e(e, m, h, a_pad)
+            assert t % 128 == 0 or t == min(-(-e // 128) * 128, 1024)
+            assert _tile_bytes(t, m, h, a_pad) + _fixed_bytes(m, h, a_pad) \
+                <= budget or t == 128
+
     @pytest.mark.parametrize("shape", [(1, 5, 30, 32, 16), (2, 40, 300, 64, 64)])
     def test_shapes(self, shape):
         b, a, e, m, h = shape

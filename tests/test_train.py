@@ -116,6 +116,22 @@ class TestEarlyStop:
         assert t.best_rmse == 0.4 and t.best_mae == 0.4
         assert not t.update(4, 0.5, 0.5)      # neither
 
+    def test_exact_ties_fire_no_branch(self):
+        # Reference main_eDOS.py:140-157: three sequential strict-inequality
+        # branches; at valid_rmse == best_rmse or valid_mae == best_mae
+        # exactly, no branch fires — no best update, no test eval.
+        t = BestTracker(es=50, eval_every=5)
+        assert t.update(1, 0.5, 0.5)
+        # rmse ties exactly, mae improves -> reference runs NO test eval
+        assert not t.update(2, 0.5, 0.4)
+        assert t.best_rmse == 0.5 and t.best_mae == 0.5 and t.best_epoch == 1
+        # mae ties exactly, rmse improves -> branch 2 needs mae strictly >
+        assert not t.update(3, 0.4, 0.5)
+        assert t.best_rmse == 0.5 and t.best_mae == 0.5 and t.best_epoch == 1
+        # both tie exactly -> nothing
+        assert not t.update(4, 0.5, 0.5)
+        assert t.best_epoch == 1
+
     def test_plateau_stop(self):
         # es=50, eval=5: stop once best_rmse unchanged across 10 evals
         t = BestTracker(es=50, eval_every=5)
@@ -422,6 +438,32 @@ class TestDeviceDataset:
                         jax.tree.leaves(s_fus.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=1e-6)
+
+    def test_fused_adamw_resume_into_fresh_instance(self):
+        """Checkpoint-resume path (ADVICE r2): a FRESH FusedAdamW (no init()
+        call) must consume a restored opt_state — the grouping metadata is
+        rebuilt lazily from the param tree — and continue the trajectory
+        identically to the original instance."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.fused_adamw import FusedAdamW
+
+        samples = synthetic_edos_samples(8, seed=3)
+        batch = collate(samples)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+
+        tr1 = Trainer(model, tx=FusedAdamW(), donate=False)
+        s = tr1.init_state(batch, seed=0)
+        s, _ = tr1.train_step(s, batch)
+
+        # "restore": hand the live state to a brand-new optimizer/Trainer
+        tr2 = Trainer(model, tx=FusedAdamW(), donate=False)
+        s1, m1 = tr1.train_step(s, batch)
+        s2, m2 = tr2.train_step(s, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=0, atol=0)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_multi_epoch_dispatch_matches_sequential(self):
         """train_epochs_device (E epochs, ONE dispatch) must replay the exact
