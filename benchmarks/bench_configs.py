@@ -1,0 +1,176 @@
+"""Throughput + MFU across realistic shape configs (VERDICT r2 #2).
+
+The headline bench (bench.py) pins small synthetic crystals (4-24 atoms,
+the reference-parity config). Real eDOS crystals run A_max ~30-230 with
+E ~ 12N (SURVEY.md §3.3), and production serving/training wants batches of
+64-128. This script measures the train-step throughput and analytic-FLOPs
+MFU at a grid of configs, plus bf16 dataset storage on the production rows.
+
+    python benchmarks/bench_configs.py                 # all configs
+    python benchmarks/bench_configs.py --only large    # one config
+
+One config per PROCESS (fresh jit caches; the tunnel backend is long-lived).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HIDDEN, LAYERS, T_LAYERS = 256, 3, 2
+PEAK_FLOPS_BY_KIND = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 459e12,
+    "TPU v5p": 459e12, "TPU v4": 275e12, "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+FLOPS_CACHE = os.path.join(REPO, "BENCH_FLOPS.json")
+
+CONFIGS = {
+    # name: (batch, min_atoms, max_atoms, n_samples, steps/dispatch epochs,
+    #        bf16_data)
+    "headline":       dict(batch=8,   lo=4,  hi=24,  n=64,  epochs=5),
+    "large":          dict(batch=8,   lo=64, hi=230, n=64,  epochs=2),
+    "b64":            dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5),
+    "b128":           dict(batch=128, lo=4,  hi=24,  n=512, epochs=5),
+    "b64_large":      dict(batch=64,  lo=64, hi=230, n=128, epochs=1),
+    "b64_bf16data":   dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
+                           bf16_data=True),
+    "headline_bf16data": dict(batch=8, lo=4, hi=24,  n=64,  epochs=5,
+                              bf16_data=True),
+}
+
+
+def analytic_flops(batch, a, e):
+    """fwd+bwd+update FLOPs from XLA's cost model on the pure-XLA variant
+    (Pallas custom calls are invisible to the model AND their one-hot
+    gathers are implementation FLOPs that should not inflate MFU); cached
+    per full config key."""
+    key = f"b{batch}_h{HIDDEN}_l{LAYERS}_t{T_LAYERS}_a{a}_e{e}"
+    cache = {}
+    if os.path.exists(FLOPS_CACHE):
+        with open(FLOPS_CACHE) as f:
+            cache = json.load(f)
+    if key in cache:
+        return cache[key]
+    from dostransformer_tpu.data import synthetic_edos_samples
+    from dostransformer_tpu.data.datasets import GraphLoader
+    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.train.trainer import Trainer
+
+    samples = synthetic_edos_samples(batch, seed=0, min_atoms=4, max_atoms=5)
+    loader = GraphLoader(samples, batch_size=batch, atoms_per_graph=a,
+                         edges_per_graph=e)
+    batch0 = next(iter(loader))
+    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
+                               hidden=HIDDEN, use_pallas=False,
+                               use_fused_mp=False)
+    trainer = Trainer(model, donate=False)
+    state = trainer.init_state(batch0, seed=0)
+    compiled = trainer._train_step.lower(state, batch0).compile()
+    flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+    cache[key] = flops
+    with open(FLOPS_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return flops
+
+
+def measure(name: str) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jrandom
+
+    from dostransformer_tpu.data import synthetic_edos_samples
+    from dostransformer_tpu.data.datasets import GraphLoader
+    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.train.device_dataset import DeviceDataset
+    from dostransformer_tpu.train.trainer import Trainer
+
+    cfg = CONFIGS[name]
+    batch = cfg["batch"]
+    samples = synthetic_edos_samples(cfg["n"], seed=0, min_atoms=cfg["lo"],
+                                     max_atoms=cfg["hi"])
+    loader = GraphLoader(samples, batch_size=batch, shuffle=True, seed=0)
+    on_tpu = jax.default_backend() == "tpu"
+    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
+                               hidden=HIDDEN, use_pallas=on_tpu)
+    trainer = Trainer(model)
+    state = trainer.init_state(next(iter(loader)), seed=0)
+    # enough samples that one multi-epoch dispatch is >= ~64 steps
+    reps = max(1, 64 * batch // (len(samples) * cfg["epochs"]) + 1)
+    dds = DeviceDataset.from_samples(
+        samples * reps, batch,
+        atoms_per_graph=loader.atoms_per_graph,
+        edges_per_graph=loader.edges_per_graph,
+        storage_dtype=jnp.bfloat16 if cfg.get("bf16_data") else None)
+
+    base = jrandom.PRNGKey(0)
+
+    def keys_at(first):
+        return jnp.stack([jrandom.fold_in(base, x)
+                          for x in range(first, first + cfg["epochs"])])
+
+    e = 0
+    for _ in range(2):
+        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        e += cfg["epochs"]
+        np.asarray(losses)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        e += cfg["epochs"]
+        np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    sps = cfg["epochs"] * dds.steps_per_epoch * batch / dt
+    rec = {
+        "config": name, "batch": batch,
+        "atoms_bucket": loader.atoms_per_graph,
+        "edges_bucket": loader.edges_per_graph,
+        "bf16_data": bool(cfg.get("bf16_data")),
+        "samples_per_sec": round(sps, 1),
+        "ms_per_step": round(1000.0 * batch / sps, 3),
+        "dataset_mb": round(dds.nbytes() / 2**20, 1),
+    }
+    try:
+        flops = analytic_flops(batch, loader.atoms_per_graph,
+                               loader.edges_per_graph)
+        peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            rec["flops_per_step"] = flops
+            rec["mfu"] = round(flops * (sps / batch) / peak, 4)
+    except Exception as ex:  # MFU best-effort
+        rec["mfu_error"] = str(ex)[:200]
+    return rec
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None, choices=list(CONFIGS))
+    args = p.parse_args()
+    if args.only:
+        print(json.dumps(measure(args.only)), flush=True)
+        return
+    for name in CONFIGS:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, cwd=REPO)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            rec = {"config": name, "error": (out.stderr or out.stdout)[-400:]}
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--data_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="DeviceDataset FEATURE storage dtype (bf16 halves "
+                        "upload + per-step gather traffic; targets stay f32)")
     args = p.parse_args(argv)
 
     samples = make_task(args.samples)
@@ -67,9 +71,13 @@ def main(argv=None):
         ((ys - ys.mean(0, keepdims=True)) ** 2).mean(1)).mean())
 
     loader = GraphLoader(train, batch_size=args.batch_size)
+    import jax.numpy as _jnp
+
     dds = DeviceDataset.from_samples(
         train, args.batch_size, atoms_per_graph=loader.atoms_per_graph,
-        edges_per_graph=loader.edges_per_graph)
+        edges_per_graph=loader.edges_per_graph,
+        storage_dtype=(_jnp.bfloat16 if args.data_dtype == "bfloat16"
+                       else None))
     vloader = GraphLoader(valid, batch_size=args.batch_size,
                           atoms_per_graph=loader.atoms_per_graph,
                           edges_per_graph=loader.edges_per_graph)

@@ -80,6 +80,17 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="collate+transfer batches from the host each epoch "
                         "instead of the device-resident dataset pipeline "
                         "(which uploads once and shuffles on device)")
+    p.add_argument("--bf16_data", action="store_true",
+                   help="store DeviceDataset features (nodes/edges) in "
+                        "bfloat16: halves the one-time upload and the "
+                        "per-step gather traffic; targets/masks stay f32 "
+                        "(convergence validated, BASELINE.md)")
+    p.add_argument("--pad_bins", type=int, default=0, metavar="N",
+                   help="run the energy-token axis lane-aligned at N (e.g. "
+                        "256 for the 201 eDOS bins): attention shapes become "
+                        "tile-aligned at the cost of pad rows through the "
+                        "per-token matmuls; outputs are bit-identical "
+                        "(pad bins masked + sliced). 0 = off")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer/processor layers in the "
                         "backward pass (jax.checkpoint: memory for FLOPs)")
@@ -128,6 +139,8 @@ def run_training(
     host_loader: bool = False,
     compile_cache: Optional[str] = None,
     tensorboard: Optional[str] = None,
+    pad_bins: int = 0,
+    bf16_data: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
     if debug_nans:
@@ -149,7 +162,7 @@ def run_training(
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
                         use_pallas=use_pallas, dtype=cfg.dtype, remat=remat,
-                        use_fused_mp=use_fused_mp)
+                        use_fused_mp=use_fused_mp, bins_pad=pad_bins or None)
     mesh = make_mesh(axes=("data",)) if data_parallel else None
     if mesh is not None and cfg.batch_size % mesh.devices.size != 0:
         raise SystemExit(
@@ -234,7 +247,8 @@ def run_training(
         device_data = DeviceDataset.from_samples(
             train, cfg.batch_size,
             atoms_per_graph=loader.atoms_per_graph,
-            edges_per_graph=loader.edges_per_graph)
+            edges_per_graph=loader.edges_per_graph,
+            storage_dtype=jnp.bfloat16 if bf16_data else None)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

@@ -82,7 +82,9 @@ def main(argv=None):
                           remat=args.remat,
                           host_loader=args.host_loader,
                           compile_cache=args.compile_cache,
-                          tensorboard=args.tensorboard)
+                          tensorboard=args.tensorboard,
+                          pad_bins=args.pad_bins,
+                          bf16_data=args.bf16_data)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

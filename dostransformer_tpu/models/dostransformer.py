@@ -61,6 +61,20 @@ class _DOSTransformerBase(fnn.Module):
                                      # (ops/fused_mp.py, 28% faster train
                                      # step); None = auto: on for TPU when
                                      # hidden is a multiple of 128
+    bins_pad: Optional[int] = None   # run the energy-token axis at this
+                                     # LANE-ALIGNED width (e.g. 256 for the
+                                     # 201 eDOS bins): every attention call
+                                     # sees tile-aligned shapes (the Pallas
+                                     # pad/unpad copies at Lq=201/Lk=201
+                                     # vanish and XLA score layouts lose
+                                     # their 27% lane waste) at the cost of
+                                     # extra pad rows through the per-token
+                                     # matmuls. Pad bins are masked out of
+                                     # the self-attention keys and sliced
+                                     # off the outputs — numerics are
+                                     # IDENTICAL to the unpadded run
+                                     # (tests/test_model_parity.py). None =
+                                     # no padding.
 
     @property
     def _cdtype(self):
@@ -79,10 +93,22 @@ class _DOSTransformerBase(fnn.Module):
             remat=self.remat, name=name)
         return mk("transformer"), mk("transformer_self"), mk("transformer_source")
 
+    @property
+    def _n_run(self) -> int:
+        """Energy-token count the model RUNS at (>= n_bins; extra rows are
+        masked/sliced — see bins_pad)."""
+        n = self.bins_pad or self.n_bins
+        assert n >= self.n_bins, (n, self.n_bins)
+        return n
+
     def _energy_tokens(self, b: int):
         table = self.param("embeddings", embedding_init, (self.n_bins, self.hidden))
         table = table.astype(self._cdtype)
-        return jnp.broadcast_to(table[None], (b, self.n_bins, self.hidden))
+        if self._n_run != self.n_bins:
+            # zero rows for the pad bins; the param tree keeps [n_bins, h]
+            table = jnp.zeros((self._n_run, self.hidden),
+                              table.dtype).at[: self.n_bins].set(table)
+        return jnp.broadcast_to(table[None], (b, self._n_run, self.hidden))
 
     def _prompt_tokens(self, system: jax.Array):
         table = self.param("prompt_token", embedding_init, (7, self.hidden // 2))
@@ -111,12 +137,13 @@ class _DOSTransformerBase(fnn.Module):
         out_layer = TorchLinear(1, name="out_layer")
 
         b = energies.shape[0]
+        n_run = self._n_run
         dos_in_g = jax.nn.leaky_relu(
             fc(jnp.concatenate([energies, graph], axis=-1)))
 
         prompt = self._prompt_tokens(g.system)
         prompt = jnp.broadcast_to(prompt[:, None, :],
-                                  (prompt.shape[0], self.n_bins, prompt.shape[-1]))
+                                  (prompt.shape[0], n_run, prompt.shape[-1]))
         dos_in_s = jax.nn.leaky_relu(
             fc_prompt(jnp.concatenate([energies, graph, prompt], axis=-1)))
 
@@ -129,11 +156,19 @@ class _DOSTransformerBase(fnn.Module):
         kv = jnp.concatenate([x_dense, x_dense], axis=0)
         km = (jnp.concatenate([key_mask, key_mask], axis=0)
               if key_mask is not None else None)
-        both = tr_self(both, both, both, None, deterministic)
+        # pad bins must not act as self-attention KEYS for real bins (they
+        # are our own alignment artifact, masked in BOTH padding modes);
+        # queries over pad bins produce throwaway rows sliced off below
+        bin_km = None
+        if n_run != self.n_bins:
+            bin_km = jnp.broadcast_to(jnp.arange(n_run) < self.n_bins,
+                                      (2 * b, n_run))
+        both = tr_self(both, both, both, bin_km, deterministic)
         both = tr_source(both, kv, kv, km, deterministic)
         # outputs widen bf16 back to f32; f64 compute stays f64
         out_dt = jnp.promote_types(both.dtype, jnp.float32)
-        both = out_layer(both)[..., 0].astype(out_dt)             # [2B, bins]
+        both = out_layer(both)[..., 0].astype(out_dt)             # [2B, n_run]
+        both = both[:, : self.n_bins]
         return both[:b], both[b:]
 
     def _key_mask(self, g: GraphBatch):
@@ -171,7 +206,7 @@ class DOSTransformerEDOS(_DOSTransformerBase):
 
         graph = GraphDecoderEDOS(self.hidden, name="GN_decoder")(
             x, u, g.node_mask)
-        graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
+        graph = jnp.broadcast_to(graph[:, None, :], (b, self._n_run, self.hidden))
 
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,
@@ -211,7 +246,7 @@ class DOSTransformerPhDOS(_DOSTransformerBase):
 
         graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(
             x, g.node_mask)
-        graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
+        graph = jnp.broadcast_to(graph[:, None, :], (b, self._n_run, self.hidden))
 
         dos_global, dos_system = self._heads(
             tr_self, tr_source, g, energies, graph, x_dense, key_mask,

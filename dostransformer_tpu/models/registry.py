@@ -56,6 +56,7 @@ def build_model(
     dtype: str = "float32",
     remat: bool = False,
     use_fused_mp: Optional[bool] = None,
+    bins_pad: Optional[int] = None,
 ):
     """Instantiate a model by (task, embedder) name.
 
@@ -82,4 +83,6 @@ def build_model(
         kwargs["remat"] = remat
     if "use_fused_mp" in cls.__dataclass_fields__:
         kwargs["use_fused_mp"] = use_fused_mp
+    if bins_pad and "bins_pad" in cls.__dataclass_fields__:
+        kwargs["bins_pad"] = bins_pad
     return cls(**kwargs)

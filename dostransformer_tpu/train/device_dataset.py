@@ -32,8 +32,8 @@ class DeviceDataset(struct.PyTreeNode):
 
     @classmethod
     def from_samples(cls, samples: Sequence[GraphSample], batch_size: int,
-                     atoms_per_graph=None, edges_per_graph=None
-                     ) -> "DeviceDataset":
+                     atoms_per_graph=None, edges_per_graph=None,
+                     storage_dtype=None) -> "DeviceDataset":
         # pad N up to a multiple of batch_size with dummy graphs
         # (graph_mask 0): every sample is seen every epoch, and the masked
         # loss ignores the dummies wherever the permutation lands them
@@ -41,6 +41,20 @@ class DeviceDataset(struct.PyTreeNode):
         n_pad = -(-n // batch_size) * batch_size
         data = collate(list(samples), atoms_per_graph=atoms_per_graph,
                        edges_per_graph=edges_per_graph, num_graphs=n_pad)
+        if storage_dtype is not None:
+            # bf16 FEATURE storage: nodes/edges/node_z are the dominant HBM
+            # residents and per-step gather traffic; storing them bf16
+            # halves both. Targets (y), masks, glob and edge_vec (phDOS
+            # geometry inputs) stay f32 — they are small, and loss/geometry
+            # precision is kept. The model's input cast upcasts back to the
+            # compute dtype; convergence at bf16 storage is validated by
+            # benchmarks/convergence_demo.py --data_dtype (BASELINE.md).
+            data = data.replace(
+                nodes=data.nodes.astype(storage_dtype),
+                edges=(data.edges.astype(storage_dtype)
+                       if data.edges is not None else None),
+                node_z=(data.node_z.astype(storage_dtype)
+                        if data.node_z is not None else None))
         return cls(data=data, batch_size=batch_size)
 
     @property

@@ -162,6 +162,23 @@ class Trainer:
         sh = NamedSharding(self.mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
+    def place_dataset(self, dataset):
+        """Device placement for a DeviceDataset's data pytree. Pure DP:
+        SHARDED over the sample axis — each device holds only its 1/N of
+        the samples (the pod memory layout; shard-local shuffles gather
+        locally, VERDICT r2 #3). Single device / dp x tp: replicated
+        (device_put is a no-op when already placed)."""
+        if self.mesh is None or self._has_tp:
+            return self.replicate(dataset.data)
+        n_sh = self.mesh.shape["data"]
+        n = dataset.num_samples
+        if n % n_sh != 0:
+            raise ValueError(
+                f"dataset size {n} (after batch padding) must divide over "
+                f"the {n_sh}-device 'data' mesh axis")
+        sh = NamedSharding(self.mesh, P("data"))
+        return jax.tree.map(lambda x: jax.device_put(x, sh), dataset.data)
+
     # -- steps ---------------------------------------------------------------
     def _build(self):
         model, tx, beta = self.model, self.tx, self.beta
@@ -338,21 +355,27 @@ class Trainer:
 
                 return jax.lax.scan(body, state, stacked)
 
-            def _local_perm_block(perm, batch_size: int):
-                # every device computed the SAME permutation from the
-                # replicated key; each gathers only its own column block of
-                # each batch from the replicated dataset
+            def _shard_perm(key, steps: int, batch_size: int):
+                # SHARD-LOCAL shuffle (the pod memory layout, VERDICT r2 #3):
+                # the dataset's sample axis is sharded over 'data', so each
+                # device holds only its 1/N contiguous block and permutes IT;
+                # the global batch at step t is the concat of the per-device
+                # local batches. Indices are LOCAL — every gather stays on
+                # this device, no collectives. The key folds in the device
+                # index so shard shuffles are independent, and the derivation
+                # mirrors _epoch_perm so resume stays bit-deterministic.
                 n_sh = mesh.shape[axis]
-                local = batch_size // n_sh
-                return jax.lax.dynamic_slice_in_dim(
-                    perm, jax.lax.axis_index(axis) * local, local, axis=1)
+                local_b = batch_size // n_sh
+                d = jax.lax.axis_index(axis)
+                sub = jax.random.split(jax.random.fold_in(key, d))[1]
+                return jax.random.permutation(
+                    sub, steps * local_b).reshape(steps, local_b)
 
             def dp_train_epoch_device(state: TrainState, data, rng, *,
                                       steps: int, batch_size: int):
                 # ONE dispatch per epoch (see train_epochs_device for the
-                # multi-epoch form)
-                perm = _local_perm_block(
-                    _epoch_perm(rng, steps, batch_size), batch_size)
+                # multi-epoch form); `data` is this device's LOCAL shard
+                perm = _shard_perm(rng, steps, batch_size)
                 rng = jax.random.split(rng)[0]
 
                 def body(st, idx):
@@ -365,14 +388,13 @@ class Trainer:
 
             def dp_train_epochs_device(state: TrainState, data, epoch_keys, *,
                                        steps: int, batch_size: int):
-                # E epochs in ONE dispatch (per-epoch keys -> permutations;
-                # same derivation as the single-epoch form, so the data order
-                # is bit-identical to E sequential dispatches)
+                # E epochs in ONE dispatch (per-epoch keys -> shard-local
+                # permutations; same derivation as the single-epoch form, so
+                # the data order is bit-identical to E sequential dispatches)
                 n_epochs = epoch_keys.shape[0]
                 perms = jax.vmap(
-                    lambda k: _epoch_perm(k, steps, batch_size))(epoch_keys)
-                perm = _local_perm_block(
-                    perms.reshape(n_epochs * steps, batch_size), batch_size)
+                    lambda k: _shard_perm(k, steps, batch_size))(epoch_keys)
+                perm = perms.reshape(n_epochs * steps, -1)
 
                 def body(st, idx):
                     b = jax.tree.map(lambda x: x[idx], data)
@@ -400,9 +422,11 @@ class Trainer:
 
                 fn = functools.partial(dp_train_epoch_device, steps=steps,
                                        batch_size=batch_size)
+                # data in_spec P(axis): the dataset's SAMPLE axis is sharded
+                # — each device receives only its local block
                 return jax.jit(
                     jax.shard_map(fn, mesh=mesh,
-                                  in_specs=(P(), P(), P()),
+                                  in_specs=(P(), P(axis), P()),
                                   out_specs=(P(), P(), P()),
                                   check_vma=False),
                     donate_argnums=donate)
@@ -414,7 +438,7 @@ class Trainer:
                                        batch_size=batch_size)
                 return jax.jit(
                     jax.shard_map(fn, mesh=mesh,
-                                  in_specs=(P(), P(), P()),
+                                  in_specs=(P(), P(axis), P()),
                                   out_specs=(P(), P()),
                                   check_vma=False),
                     donate_argnums=donate)
@@ -492,10 +516,7 @@ class Trainer:
         fn = self._epoch_device_cache.get(key)
         if fn is None:
             fn = self._epoch_device_cache[key] = self._make_epoch_device(*key)
-        # under DP the dataset replicates once (device_put is a no-op when
-        # already placed); each device gathers its own shard of every batch
-        data = self.replicate(dataset.data)
-        return fn(state, data, rng)
+        return fn(state, self.place_dataset(dataset), rng)
 
     def train_epochs_device(self, state: TrainState, dataset, epoch_keys):
         """Multiple epochs over a DeviceDataset in ONE dispatch. epoch_keys
@@ -511,8 +532,8 @@ class Trainer:
         if fn is None:
             fn = self._epoch_device_cache[key] = self._make_epochs_device(
                 key[0], key[1])
-        data = self.replicate(dataset.data)
-        return fn(state, data, self.replicate(epoch_keys))
+        return fn(state, self.place_dataset(dataset),
+                  self.replicate(epoch_keys))
 
     def train_epoch(self, state: TrainState, batches):
         """Run one scan-compiled epoch over a list of same-shape GraphBatches

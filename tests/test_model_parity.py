@@ -131,6 +131,58 @@ class TestRefPaddingBatchedParity:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestBinsPadEquivalence:
+    """bins_pad runs the energy-token axis lane-aligned (201 -> 256); pad
+    bins are masked out of self-attention keys and sliced off the outputs,
+    so results must match the unpadded model with the SAME params (the param
+    tree is unchanged) in both padding modes."""
+
+    @pytest.mark.parametrize("padding", ["mask", "ref"])
+    def test_edos_padded_bins_match(self, padding):
+        samples = synthetic_edos_samples(2, seed=21, min_atoms=5, max_atoms=9)
+        batch = collate(samples)
+        m0 = DOSTransformerEDOS(layers=2, t_layers=2, hidden=64,
+                                padding=padding)
+        m1 = DOSTransformerEDOS(layers=2, t_layers=2, hidden=64,
+                                padding=padding, bins_pad=256)
+        params = m0.init(jax.random.PRNGKey(4), batch)
+        params1 = m1.init(jax.random.PRNGKey(4), batch)
+        assert jax.tree.structure(params) == jax.tree.structure(params1)
+        assert params["params"]["embeddings"].shape == (201, 64)
+
+        dg0, x0, ds0 = m0.apply(params, batch)
+        dg1, x1, ds1 = m1.apply(params, batch)
+        assert dg1.shape == (batch.num_graphs, 201)
+        np.testing.assert_allclose(np.asarray(dg0), np.asarray(dg1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ds0), np.asarray(ds1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_edos_padded_bins_gradients_match(self):
+        samples = synthetic_edos_samples(2, seed=22, min_atoms=5, max_atoms=8)
+        batch = collate(samples)
+        m0 = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32)
+        m1 = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32, bins_pad=256)
+        params = m0.init(jax.random.PRNGKey(5), batch)["params"]
+
+        def loss(m):
+            def f(p):
+                dg, _, ds = m.apply({"params": p}, batch)
+                return ((batch.y - dg) ** 2).mean() + ((batch.y - ds) ** 2).mean()
+            return f
+
+        g0 = jax.grad(loss(m0))(params)
+        g1 = jax.grad(loss(m1))(params)
+        assert jax.tree.structure(g0) == jax.tree.structure(g1)
+        for (k0, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                   jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=jax.tree_util.keystr(k0))
+
+
 def _cast_tree_f64(tree):
     return jax.tree.map(
         lambda a: np.asarray(a).astype(np.float64)

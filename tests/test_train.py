@@ -591,10 +591,12 @@ class TestDistributed:
         np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
 
     def test_device_epoch_under_dp(self, tiny_edos):
-        """Device-resident epochs under the DP mesh: dataset replicated, the
-        permutation sharded over 'data' — each device gathers its own local
-        slice of every batch. Losses must match the single-device device
-        pipeline given the same epoch rng."""
+        """Device-resident epochs under the DP mesh: the dataset's SAMPLE
+        axis is sharded over 'data' — each device holds only its 1/N block
+        and shuffles it locally (the pod memory layout, VERDICT r2 #3).
+        Differential oracle: reproduce the shard-local permutation scheme on
+        the host, assemble the global batches explicitly, and run them
+        through the single-device trainer — losses and params must match."""
         from dostransformer_tpu.train.device_dataset import DeviceDataset
 
         samples = synthetic_edos_samples(16, seed=0)
@@ -602,17 +604,43 @@ class TestDistributed:
         model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
                                    use_pallas=False)
         batch0 = next(iter(GraphLoader(samples[:8], batch_size=8)))
+        key = jax.random.PRNGKey(3)
+
+        mesh = make_mesh(axes=("data",))
+        n_sh = mesh.devices.size
+        tr8 = Trainer(model, mesh=mesh, donate=False)
+        s8 = tr8.init_state(batch0, seed=0)
+        # placement: each device holds only its sample block
+        placed = tr8.place_dataset(dds)
+        assert placed.nodes.sharding.spec == jax.sharding.PartitionSpec("data")
+        s8, losses8, _ = tr8.train_epoch_device(s8, dds, key)
+
+        # host oracle: per-device local perms (same derivation as
+        # trainer._shard_perm), global batch = concat of shard-local slices
+        steps, local_b = dds.steps_per_epoch, dds.batch_size // n_sh
+        n_local = dds.num_samples // n_sh
+        data_np = jax.tree.map(np.asarray, dds.data)
+        gathered = []
+        for d in range(n_sh):
+            sub = jax.random.split(jax.random.fold_in(key, d))[1]
+            perm = np.asarray(jax.random.permutation(
+                sub, steps * local_b)).reshape(steps, local_b)
+            gathered.append(jax.tree.map(
+                lambda x: x[d * n_local:(d + 1) * n_local][perm], data_np))
+        batches = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *gathered)
 
         tr1 = Trainer(model, donate=False)
         s1 = tr1.init_state(batch0, seed=0)
-        s1, losses1, _ = tr1.train_epoch_device(s1, dds, jax.random.PRNGKey(3))
-
-        mesh = make_mesh(axes=("data",))
-        tr8 = Trainer(model, mesh=mesh, donate=False)
-        s8 = tr8.init_state(batch0, seed=0)
-        s8, losses8, _ = tr8.train_epoch_device(s8, dds, jax.random.PRNGKey(3))
+        losses1 = []
+        for t in range(steps):
+            s1, m = tr1.train_step(s1, jax.tree.map(lambda x: x[t], batches))
+            losses1.append(float(m["loss"]))
         np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses8),
                                    rtol=2e-4)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
 
     def test_multi_epoch_dispatch_under_dp(self, tiny_edos):
         """The multi-epoch dispatch must agree with sequential single-epoch
