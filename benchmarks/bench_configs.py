@@ -33,17 +33,25 @@ PEAK_FLOPS_BY_KIND = {
 FLOPS_CACHE = os.path.join(REPO, "BENCH_FLOPS.json")
 
 CONFIGS = {
-    # name: (batch, min_atoms, max_atoms, n_samples, steps/dispatch epochs,
-    #        bf16_data)
-    "headline":       dict(batch=8,   lo=4,  hi=24,  n=64,  epochs=5),
-    "large":          dict(batch=8,   lo=64, hi=230, n=64,  epochs=2),
-    "b64":            dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5),
-    "b128":           dict(batch=128, lo=4,  hi=24,  n=512, epochs=5),
-    "b64_large":      dict(batch=64,  lo=64, hi=230, n=128, epochs=1),
+    # target_steps: steps per timed dispatch — the tunnel backend adds a
+    # fixed ~30-55 ms host round trip PER DISPATCH, so small-step configs
+    # need thousands of steps per dispatch to measure device throughput
+    # rather than tunnel latency (bench.py uses 5x512); large-crystal steps
+    # are 10-40x slower, so far fewer steps already amortize it
+    "headline":       dict(batch=8,   lo=4,  hi=24,  n=64,  epochs=5,
+                           target_steps=2560),
+    "large":          dict(batch=8,   lo=64, hi=230, n=64,  epochs=2,
+                           target_steps=256),
+    "b64":            dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=1280),
+    "b128":           dict(batch=128, lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=640),
+    "b64_large":      dict(batch=64,  lo=64, hi=230, n=128, epochs=1,
+                           target_steps=48),
     "b64_bf16data":   dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
-                           bf16_data=True),
+                           target_steps=1280, bf16_data=True),
     "headline_bf16data": dict(batch=8, lo=4, hi=24,  n=64,  epochs=5,
-                              bf16_data=True),
+                              target_steps=2560, bf16_data=True),
 }
 
 
@@ -103,8 +111,9 @@ def measure(name: str) -> dict:
                                hidden=HIDDEN, use_pallas=on_tpu)
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
-    # enough samples that one multi-epoch dispatch is >= ~64 steps
-    reps = max(1, 64 * batch // (len(samples) * cfg["epochs"]) + 1)
+    # enough samples that one multi-epoch dispatch hits target_steps
+    per_rep_steps = cfg["epochs"] * len(samples) // batch
+    reps = max(1, -(-cfg["target_steps"] // max(per_rep_steps, 1)))
     dds = DeviceDataset.from_samples(
         samples * reps, batch,
         atoms_per_graph=loader.atoms_per_graph,

@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_epoch(hidden, batch, steps, dtype="float32"):
+def run_epoch(hidden, batch, steps, dtype="float32", pad_bins=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,7 +38,8 @@ def run_epoch(hidden, batch, steps, dtype="float32"):
     loader = GraphLoader(samples, batch_size=batch)
     on_tpu = jax.default_backend() == "tpu"
     model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=hidden,
-                               use_pallas=on_tpu, dtype=dtype)
+                               use_pallas=on_tpu, dtype=dtype,
+                               bins_pad=pad_bins or None)
     trainer = Trainer(model)
     dds = DeviceDataset.from_samples(
         samples * (steps * batch // len(samples) + 1), batch,
@@ -59,13 +60,15 @@ def main():
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--top", type=int, default=28)
+    p.add_argument("--pad_bins", type=int, default=0)
     args = p.parse_args()
 
     import jax
     import numpy as np
 
     trainer, state, dds, rng, _ = run_epoch(args.hidden, args.batch,
-                                            args.steps, args.dtype)
+                                            args.steps, args.dtype,
+                                            args.pad_bins)
     tmp = tempfile.mkdtemp(prefix="dostpu_prof_")
     jax.profiler.start_trace(tmp)
     t0 = time.perf_counter()
