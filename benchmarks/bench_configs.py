@@ -52,6 +52,16 @@ CONFIGS = {
                            target_steps=1280, bf16_data=True),
     "headline_bf16data": dict(batch=8, lo=4, hi=24,  n=64,  epochs=5,
                               target_steps=2560, bf16_data=True),
+    # pad_bins at production batch: the B=64 profile shows the 201-column
+    # relayout copies explode superlinearly with batch (copy-done 45 ->
+    # 1885 us/step, slice-done 40 -> 1027) while the per-token matmul cost
+    # of padding stays at 27% — the tradeoff that loses at B=8 may win here
+    "b64_pad256":     dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=1280, pad_bins=256),
+    "b128_pad256":    dict(batch=128, lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=640, pad_bins=256),
+    "large_pad256":   dict(batch=8,   lo=64, hi=230, n=64,  epochs=2,
+                           target_steps=256, pad_bins=256),
 }
 
 
@@ -108,7 +118,8 @@ def measure(name: str) -> dict:
     loader = GraphLoader(samples, batch_size=batch, shuffle=True, seed=0)
     on_tpu = jax.default_backend() == "tpu"
     model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
-                               hidden=HIDDEN, use_pallas=on_tpu)
+                               hidden=HIDDEN, use_pallas=on_tpu,
+                               bins_pad=cfg.get("pad_bins"))
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
     # enough samples that one multi-epoch dispatch hits target_steps
@@ -146,6 +157,7 @@ def measure(name: str) -> dict:
         "atoms_bucket": loader.atoms_per_graph,
         "edges_bucket": loader.edges_per_graph,
         "bf16_data": bool(cfg.get("bf16_data")),
+        "pad_bins": cfg.get("pad_bins", 0),
         "samples_per_sec": round(sps, 1),
         "ms_per_step": round(1000.0 * batch / sps, 3),
         "dataset_mb": round(dds.nbytes() / 2**20, 1),

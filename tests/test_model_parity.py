@@ -160,6 +160,25 @@ class TestBinsPadEquivalence:
         np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_padded_bins_pallas_path(self, monkeypatch):
+        """The Pallas kernel path (interpret mode on CPU) must honour the
+        pad-bin key mask too — this is the path the TPU actually runs with
+        --pad_bins."""
+        monkeypatch.setenv("DOSTPU_PALLAS_INTERPRET", "1")
+        samples = synthetic_edos_samples(2, seed=23, min_atoms=5, max_atoms=7)
+        batch = collate(samples)
+        m0 = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32,
+                                use_pallas=False)
+        m1 = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32,
+                                use_pallas=True, bins_pad=256)
+        params = m0.init(jax.random.PRNGKey(6), batch)
+        dg0, _, ds0 = m0.apply(params, batch)
+        dg1, _, ds1 = m1.apply(params, batch)
+        np.testing.assert_allclose(np.asarray(dg0), np.asarray(dg1),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ds0), np.asarray(ds1),
+                                   rtol=2e-4, atol=1e-5)
+
     def test_edos_padded_bins_gradients_match(self):
         samples = synthetic_edos_samples(2, seed=22, min_atoms=5, max_atoms=8)
         batch = collate(samples)
