@@ -62,6 +62,17 @@ CONFIGS = {
                            target_steps=640, pad_bins=256),
     "large_pad256":   dict(batch=8,   lo=64, hi=230, n=64,  epochs=2,
                            target_steps=256, pad_bins=256),
+    # bf16 COMPUTE at production batch: the relayout copies that dominate
+    # B>=64 move activation bytes — bf16 halves them (convergence already
+    # validated end-to-end, BASELINE.md round 2)
+    "b64_bf16":       dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=1280, dtype="bfloat16"),
+    "b128_bf16":      dict(batch=128, lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=640, dtype="bfloat16"),
+    "headline_bf16":  dict(batch=8,   lo=4,  hi=24,  n=64,  epochs=5,
+                           target_steps=2560, dtype="bfloat16"),
+    "large_bf16":     dict(batch=8,   lo=64, hi=230, n=64,  epochs=2,
+                           target_steps=256, dtype="bfloat16"),
 }
 
 
@@ -119,7 +130,8 @@ def measure(name: str) -> dict:
     on_tpu = jax.default_backend() == "tpu"
     model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
                                hidden=HIDDEN, use_pallas=on_tpu,
-                               bins_pad=cfg.get("pad_bins"))
+                               bins_pad=cfg.get("pad_bins"),
+                               dtype=cfg.get("dtype", "float32"))
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
     # enough samples that one multi-epoch dispatch hits target_steps
@@ -158,6 +170,7 @@ def measure(name: str) -> dict:
         "edges_bucket": loader.edges_per_graph,
         "bf16_data": bool(cfg.get("bf16_data")),
         "pad_bins": cfg.get("pad_bins", 0),
+        "dtype": cfg.get("dtype", "float32"),
         "samples_per_sec": round(sps, 1),
         "ms_per_step": round(1000.0 * batch / sps, 3),
         "dataset_mb": round(dds.nbytes() / 2**20, 1),

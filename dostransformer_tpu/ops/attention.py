@@ -253,9 +253,25 @@ def _fused_attention_bwd(q, k, v, bias, g):
     return dq[:, :lq, :d], dk[:, :lk, :d], dv[:, :lk, :d]
 
 
+def _use_pallas_bwd(b: int) -> bool:
+    """Backward-path dispatch, MEASURED on v5e (BASELINE.md rounds 2-3):
+    at few batch elements (flagship B=8 -> b=8..16) the XLA einsum backward
+    wins — the kernel's lane-alignment pad/unpad copies cost more than the
+    fusions it replaces (round-2 negative: 1088 -> 1112 us/step). At
+    production batch the XLA backward's relayout copies grow SUPERLINEARLY
+    (B=64 profile: copy-done 45 -> 1885 us/step) and the kernel wins
+    +6-10% end-to-end (B=64: 4818 -> 5282 samples/s; B=128: 4351 -> 4610;
+    neutral at large crystals). Default: Pallas at b >= 64 elements.
+    DOSTPU_ATTN_PALLAS_BWD=1/0 forces either path."""
+    env = os.environ.get("DOSTPU_ATTN_PALLAS_BWD")
+    if env in ("0", "1"):
+        return env == "1"
+    return b >= 64
+
+
 def _fused_bwd(res, g):
     q, k, v, bias = res
-    if os.environ.get("DOSTPU_ATTN_PALLAS_BWD") == "1":
+    if _use_pallas_bwd(q.shape[0]):
         dq, dk, dv = _fused_attention_bwd(q, k, v, bias, g)
         return dq, dk, dv, None
     d = q.shape[-1]

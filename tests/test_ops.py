@@ -93,10 +93,9 @@ class TestAttention:
                                        rtol=1e-4, atol=1e-5)
 
     def test_fused_gradients_pallas_bwd(self, monkeypatch):
-        """Opt-in Pallas backward kernel (DOSTPU_ATTN_PALLAS_BWD=1; kept
-        non-default after measuring the pad/un-pad copies cost more than the
-        removed XLA fusions — see _attn_bwd_kernel) must match the jnp
-        backward."""
+        """Pallas backward kernel (default at b >= 64 elements, where it was
+        measured +6-10% end-to-end; XLA einsums below — see _use_pallas_bwd)
+        must match the jnp backward."""
         monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")
         rng = np.random.RandomState(4)
         b, lq, lk, d = 4, 16, 24, 64
@@ -105,8 +104,36 @@ class TestAttention:
         mask = jnp.array(rng.rand(b, lk) > 0.2)
         loss = lambda *a: (fused_attention(*a, mask) ** 2).sum()
         g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-        monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD")
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "0")
         g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_bwd_dispatch_default(self, monkeypatch):
+        """The production-batch default: b >= 64 elements takes the Pallas
+        backward, fewer takes XLA; env forces either (and the b=64 default-on
+        path is differential-tested against the forced-off XLA backward)."""
+        from dostransformer_tpu.ops.attention import _use_pallas_bwd
+
+        monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD", raising=False)
+        assert not _use_pallas_bwd(16)
+        assert _use_pallas_bwd(64) and _use_pallas_bwd(128)
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "0")
+        assert not _use_pallas_bwd(128)
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")
+        assert _use_pallas_bwd(2)
+
+        monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD")
+        rng = np.random.RandomState(5)
+        b, lq, lk, d = 64, 9, 13, 32
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.2)
+        loss = lambda *a: (fused_attention(*a, mask) ** 2).sum()
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)   # default: Pallas
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "0")
+        g2 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)   # forced XLA
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
