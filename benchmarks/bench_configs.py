@@ -73,6 +73,12 @@ CONFIGS = {
                            target_steps=2560, dtype="bfloat16"),
     "large_bf16":     dict(batch=8,   lo=64, hi=230, n=64,  epochs=2,
                            target_steps=256, dtype="bfloat16"),
+    # the fused-MP kernel's one-hot gather/scatter matmuls scale with A_pad
+    # (TE x A one-hots): at A=256 they may lose to XLA's native gathers
+    "large_nofusedmp": dict(batch=8,  lo=64, hi=230, n=64,  epochs=2,
+                            target_steps=256, fused_mp=False),
+    "b64_large_nofusedmp": dict(batch=64, lo=64, hi=230, n=128, epochs=1,
+                                target_steps=48, fused_mp=False),
 }
 
 
@@ -131,7 +137,8 @@ def measure(name: str) -> dict:
     model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
                                hidden=HIDDEN, use_pallas=on_tpu,
                                bins_pad=cfg.get("pad_bins"),
-                               dtype=cfg.get("dtype", "float32"))
+                               dtype=cfg.get("dtype", "float32"),
+                               use_fused_mp=cfg.get("fused_mp"))
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
     # enough samples that one multi-epoch dispatch hits target_steps

@@ -465,6 +465,37 @@ class TestDeviceDataset:
                         jax.tree.leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fused_adamw_checkpoint_roundtrip(self, tmp_path):
+        """FusedAdamW's stacked-group opt_state must survive an orbax
+        save/restore into a FRESH Trainer (ADVICE r2: the layout differs
+        from optax's per-leaf trees) and continue identically."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+        from dostransformer_tpu.train.fused_adamw import FusedAdamW
+
+        samples = synthetic_edos_samples(8, seed=3)
+        batch = collate(samples)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+
+        tr1 = Trainer(model, tx=FusedAdamW(), donate=False)
+        s = tr1.init_state(batch, seed=0)
+        s, _ = tr1.train_step(s, batch)
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(1, s)
+
+        tr2 = Trainer(model, tx=FusedAdamW(), donate=False)
+        template = tr2.init_state(batch, seed=0)
+        restored, epoch, _ = mgr.restore(template)
+        assert epoch == 1
+        for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        s1, m1 = tr1.train_step(s, batch)
+        s2, m2 = tr2.train_step(restored, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_multi_epoch_dispatch_matches_sequential(self):
         """train_epochs_device (E epochs, ONE dispatch) must replay the exact
         data order of E sequential train_epoch_device dispatches when fed the
