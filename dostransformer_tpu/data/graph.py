@@ -154,57 +154,90 @@ def collate(
 
     fx = samples[0].x.shape[1]
     bins = samples[0].y.shape[-1]
+    s0 = samples[0]
 
-    # node features + mask: native C++ packer (the collation engine) when
-    # built, NumPy otherwise — identical output
+    # Ragged-array packing. The C++ packers (dostpu_native.cc — the
+    # PyG-DataLoader-collation equivalent) are available behind
+    # DOSTPU_NATIVE_COLLATE=1 and differential-tested, but the NumPy slicing
+    # loop is the DEFAULT: collation is memory-bound on writing the padded
+    # output buffers (e.g. 258 MB for 4096 eDOS samples' edges), which the
+    # per-sample `out[g, :n] = x` memcpys already saturate — the measured
+    # native-vs-numpy ratio is 0.74-0.89x because the extra concatenate pass
+    # only adds traffic. Masks derive vectorized from the row counts.
+    import os
+
     from dostransformer_tpu import native
 
-    packed = (native.pack_f32([s.x for s in samples], a, fx)
-              if b == b_real and native.available() else None)
-    if packed is not None:
-        nodes, node_mask = packed
-    else:
+    n_rows = np.array([s.n_nodes for s in samples], np.int64)
+    e_rows = np.array([s.n_edges for s in samples], np.int64)
+    use_native = (b == b_real and native.available()
+                  and os.environ.get("DOSTPU_NATIVE_COLLATE") == "1")
+    nodes = node_mask = None
+    senders = receivers = edges = edge_vec = edge_shift = node_z = None
+    if use_native:
+        nodes, node_mask = native.pack_f32([s.x for s in samples], a, fx)
+        se = native.pack_edges([s.edge_index for s in samples], eg)
+        if se is not None:
+            senders, receivers = se
+        if s0.edge_attr is not None:
+            edges = native.pack_f32([s.edge_attr for s in samples], eg,
+                                    s0.edge_attr.shape[1],
+                                    with_mask=False)[0]
+        if s0.edge_vec is not None:
+            edge_vec = native.pack_f32([s.edge_vec for s in samples], eg, 3,
+                                       with_mask=False)[0]
+        if s0.edge_shift is not None:
+            edge_shift = native.pack_f32([s.edge_shift for s in samples],
+                                         eg, 3, with_mask=False)[0]
+        if s0.z is not None:
+            node_z = native.pack_f32([s.z for s in samples], a,
+                                     s0.z.shape[1], with_mask=False)[0]
+    if nodes is None:
         nodes = np.zeros((b, a, fx), np.float32)
         node_mask = np.zeros((b, a), np.float32)
-    senders = np.zeros((b, eg), np.int32)
-    receivers = np.zeros((b, eg), np.int32)
+        node_mask[:b_real] = (np.arange(a)[None] < n_rows[:, None])
+        for g, s in enumerate(samples):
+            nodes[g, : s.n_nodes] = s.x
+    if senders is None:
+        senders = np.zeros((b, eg), np.int32)
+        receivers = np.zeros((b, eg), np.int32)
+        for g, s in enumerate(samples):
+            senders[g, : s.n_edges] = s.edge_index[0]
+            receivers[g, : s.n_edges] = s.edge_index[1]
+
+    def _pack_loop(arrays, r):
+        out = np.zeros((b, r) + arrays[0].shape[1:], np.float32)
+        for g, arr in enumerate(arrays):
+            out[g, : arr.shape[0]] = arr
+        return out
+
+    if edges is None and s0.edge_attr is not None:
+        edges = _pack_loop([s.edge_attr for s in samples], eg)
+    if edge_vec is None and s0.edge_vec is not None:
+        edge_vec = _pack_loop([s.edge_vec for s in samples], eg)
+    if edge_shift is None and s0.edge_shift is not None:
+        edge_shift = _pack_loop([s.edge_shift for s in samples], eg)
+    if node_z is None and s0.z is not None:
+        # eDOS z has n_atoms rows while x has n_atoms+1 (the prompt node
+        # carries no type, mat2graph.py:143) — fill by z's own row count
+        node_z = _pack_loop([s.z for s in samples], a)
+
     edge_mask = np.zeros((b, eg), np.float32)
+    edge_mask[:b_real] = (np.arange(eg)[None] < e_rows[:, None])
     y = np.zeros((b, bins), np.float32)
+    y[:b_real] = np.stack([np.asarray(s.y, np.float32).reshape(-1)
+                           for s in samples])
     system = np.zeros((b,), np.int32)
+    system[:b_real] = [s.system for s in samples]
     graph_mask = np.zeros((b,), np.float32)
+    graph_mask[:b_real] = 1.0
     sample_id = np.full((b,), -1, np.int32)
-
-    s0 = samples[0]
-    edges = np.zeros((b, eg, s0.edge_attr.shape[1]), np.float32) if s0.edge_attr is not None else None
-    edge_vec = np.zeros((b, eg, 3), np.float32) if s0.edge_vec is not None else None
-    edge_shift = np.zeros((b, eg, 3), np.float32) if s0.edge_shift is not None else None
-    glob = np.zeros((b, s0.glob.shape[-1]), np.float32) if s0.glob is not None else None
-    node_z = np.zeros((b, a, s0.z.shape[1]), np.float32) if s0.z is not None else None
-
-    for g, s in enumerate(samples):
-        n, e = s.n_nodes, s.n_edges
-        if packed is None:
-            nodes[g, :n] = s.x
-            node_mask[g, :n] = 1.0
-        senders[g, :e] = s.edge_index[0]
-        receivers[g, :e] = s.edge_index[1]
-        edge_mask[g, :e] = 1.0
-        if edges is not None:
-            edges[g, :e] = s.edge_attr
-        if edge_vec is not None:
-            edge_vec[g, :e] = s.edge_vec
-        if edge_shift is not None:
-            edge_shift[g, :e] = s.edge_shift
-        if glob is not None:
-            glob[g] = s.glob
-        if node_z is not None:
-            # eDOS z has n_atoms rows while x has n_atoms+1 (the prompt node
-            # carries no type, mat2graph.py:143) — fill by z's own row count
-            node_z[g, :s.z.shape[0]] = s.z
-        y[g] = np.asarray(s.y, np.float32).reshape(-1)
-        system[g] = s.system
-        graph_mask[g] = 1.0
-        sample_id[g] = s.sample_id
+    sample_id[:b_real] = [s.sample_id for s in samples]
+    glob = None
+    if s0.glob is not None:
+        glob = np.zeros((b, s0.glob.shape[-1]), np.float32)
+        glob[:b_real] = np.stack([np.asarray(s.glob, np.float32)
+                                  for s in samples])
 
     j = jnp.asarray
     return GraphBatch(

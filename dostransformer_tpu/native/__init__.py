@@ -43,6 +43,9 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.dostpu_pack_f32.restype = None
     lib.dostpu_pack_i32.restype = None
+    lib.dostpu_pack_concat_f32.restype = None
+    lib.dostpu_pack_concat_i32.restype = None
+    lib.dostpu_pack_edges_i32.restype = None
     _lib = lib
     return _lib
 
@@ -94,42 +97,72 @@ def neighbor_list_pbc_native(
     return src, dst, shifts
 
 
+def _offsets(arrays) -> np.ndarray:
+    off = np.zeros(len(arrays) + 1, np.int64)
+    np.cumsum([a.shape[0] for a in arrays], out=off[1:])
+    return off
+
+
 def pack_f32(arrays, r: int, c: int, with_mask: bool = True):
     """Pack a list of [n_i, c] float32 arrays into ([B, r, c], mask [B, r]).
-    None when the library is unavailable."""
+    None when the library is unavailable.
+
+    Concat-based marshalling: one np.concatenate (a single C pass) + one
+    offsets vector + one library call — the per-array pointer marshalling of
+    the naive ctypes design cost MORE than the NumPy slicing loop it
+    replaced (measured 0.6x at 4096 samples)."""
     lib = _load()
     if lib is None:
         return None
     b = len(arrays)
-    arrays = [np.ascontiguousarray(a, np.float32) for a in arrays]
-    rows = np.array([a.shape[0] for a in arrays], np.int64)
-    assert all(a.shape[1] == c for a in arrays) and rows.max(initial=0) <= r
+    concat = np.ascontiguousarray(
+        np.concatenate(arrays, axis=0), np.float32)
+    off = _offsets(arrays)
+    assert concat.shape[1] == c and np.diff(off).max(initial=0) <= r
     out = np.zeros((b, r, c), np.float32)
     mask = np.zeros((b, r), np.float32) if with_mask else None
-    PtrArray = ctypes.POINTER(ctypes.c_float) * b
-    srcs = PtrArray(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-                      for a in arrays])
-    lib.dostpu_pack_f32(
-        srcs, _iptr(rows), b, r, c,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        if with_mask else None)
+    fptr = ctypes.POINTER(ctypes.c_float)
+    lib.dostpu_pack_concat_f32(
+        concat.ctypes.data_as(fptr), _iptr(off), b, r, c,
+        out.ctypes.data_as(fptr),
+        mask.ctypes.data_as(fptr) if with_mask else None)
     return out, mask
 
 
 def pack_i32(arrays, r: int, c: int):
-    """Pack a list of [n_i, c] int32 arrays into [B, r, c] (zero padded)."""
+    """Pack a list of [n_i, c] int arrays into [B, r, c] int32 (zero pad)."""
     lib = _load()
     if lib is None:
         return None
     b = len(arrays)
-    arrays = [np.ascontiguousarray(a, np.int32) for a in arrays]
-    rows = np.array([a.shape[0] for a in arrays], np.int64)
-    assert all(a.shape[1] == c for a in arrays) and rows.max(initial=0) <= r
+    concat = np.ascontiguousarray(np.concatenate(arrays, axis=0), np.int32)
+    off = _offsets(arrays)
+    assert concat.shape[1] == c and np.diff(off).max(initial=0) <= r
     out = np.zeros((b, r, c), np.int32)
-    PtrArray = ctypes.POINTER(ctypes.c_int32) * b
-    srcs = PtrArray(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-                      for a in arrays])
-    lib.dostpu_pack_i32(srcs, _iptr(rows), b, r, c,
-                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    iptr32 = ctypes.POINTER(ctypes.c_int32)
+    lib.dostpu_pack_concat_i32(concat.ctypes.data_as(iptr32), _iptr(off),
+                               b, r, c, out.ctypes.data_as(iptr32))
     return out
+
+
+def pack_edges(edge_indices, r: int):
+    """Pack per-sample [2, e_i] int edge-index arrays into senders/receivers
+    [B, r] int32 — the PyG-DataLoader-collation equivalent for edges. The
+    transposes are views; ONE concatenate materializes [sum_e, 2] and the
+    library splits senders/receivers in the same pass. None when the library
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = len(edge_indices)
+    views = [np.asarray(ei).T for ei in edge_indices]
+    concat = np.ascontiguousarray(np.concatenate(views, axis=0), np.int32)
+    off = _offsets(views)
+    assert np.diff(off).max(initial=0) <= r
+    senders = np.zeros((b, r), np.int32)
+    receivers = np.zeros((b, r), np.int32)
+    iptr32 = ctypes.POINTER(ctypes.c_int32)
+    lib.dostpu_pack_edges_i32(concat.ctypes.data_as(iptr32), _iptr(off), b, r,
+                              senders.ctypes.data_as(iptr32),
+                              receivers.ctypes.data_as(iptr32))
+    return senders, receivers

@@ -131,6 +131,56 @@ void dostpu_pack_i32(const int32_t* const* srcs, const int64_t* rows,
   }
 }
 
-int64_t dostpu_abi_version() { return 1; }
+// Concat-based packers: the per-sample pointer marshalling of the
+// array-of-pointers variants costs more in Python (one .ctypes property per
+// sample) than the memcpy saves — measured 0.6x vs the NumPy loop at 4096
+// samples. These take ONE concatenated buffer plus row offsets (both built
+// by single NumPy C ops), so the Python-side cost is O(1) arrays per call.
+// offsets has n_samples+1 entries (cumulative rows, offsets[0] == 0).
+void dostpu_pack_concat_f32(const float* concat, const int64_t* offsets,
+                            int64_t n_samples, int64_t r, int64_t c,
+                            float* out /* zeroed [B, R, C] */,
+                            float* mask /* zeroed [B, R] or nullptr */) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const int64_t nr = offsets[s + 1] - offsets[s];
+    std::memcpy(out + s * r * c, concat + offsets[s] * c,
+                sizeof(float) * nr * c);
+    if (mask != nullptr) {
+      for (int64_t k = 0; k < nr; ++k) mask[s * r + k] = 1.0f;
+    }
+  }
+}
+
+void dostpu_pack_concat_i32(const int32_t* concat, const int64_t* offsets,
+                            int64_t n_samples, int64_t r, int64_t c,
+                            int32_t* out /* zeroed [B, R, C] */) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const int64_t nr = offsets[s + 1] - offsets[s];
+    std::memcpy(out + s * r * c, concat + offsets[s] * c,
+                sizeof(int32_t) * nr * c);
+  }
+}
+
+// Edge-index packing in one pass: concat is the [sum_e, 2] row-major
+// concatenation of the per-sample edge_index TRANSPOSES (senders,
+// receivers interleaved per edge); writes separate senders/receivers
+// [B, R] buffers directly — no Python-side unpack slice.
+void dostpu_pack_edges_i32(const int32_t* concat, const int64_t* offsets,
+                           int64_t n_samples, int64_t r,
+                           int32_t* senders /* zeroed [B, R] */,
+                           int32_t* receivers /* zeroed [B, R] */) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const int64_t nr = offsets[s + 1] - offsets[s];
+    const int32_t* row = concat + offsets[s] * 2;
+    int32_t* se = senders + s * r;
+    int32_t* re = receivers + s * r;
+    for (int64_t k = 0; k < nr; ++k) {
+      se[k] = row[2 * k];
+      re[k] = row[2 * k + 1];
+    }
+  }
+}
+
+int64_t dostpu_abi_version() { return 2; }
 
 }  // extern "C"

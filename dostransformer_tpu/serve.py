@@ -105,11 +105,17 @@ class Predictor:
                    clamp=(task == "edos"), mesh=mesh)
 
     def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
-        """DOS spectra for the given samples, [N, bins], input order."""
+        """DOS spectra for the given samples, [N, bins], input order.
+
+        Pipelined: every batch is DISPATCHED before any result is fetched —
+        JAX dispatch is async, so host collation of batch i+1 overlaps with
+        device compute of batch i, and the host↔device round trip (which
+        through the tunneled backend costs ~30-55 ms per fetch) is paid once
+        per call, not once per batch."""
         loader = GraphLoader(list(samples), batch_size=self.batch_size)
-        outs: List[np.ndarray] = []
-        for batch in loader:
-            dos = np.asarray(self._forward(self.params, batch))
-            keep = np.asarray(batch.graph_mask) > 0.5
-            outs.append(dos[keep])
+        pending = [(self._forward(self.params, batch),
+                    np.asarray(batch.graph_mask) > 0.5)
+                   for batch in loader]
+        outs: List[np.ndarray] = [np.asarray(dos)[keep]
+                                  for dos, keep in pending]
         return np.concatenate(outs, axis=0)

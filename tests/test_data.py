@@ -296,6 +296,34 @@ class TestMatscholarTable:
         np.testing.assert_array_equal(s.z.sum(axis=1), 1.0)
 
 
+class TestNativeCollateDifferential:
+    """The C++ packers (nodes/edges/indices/geometry) must produce leaves
+    bit-identical to the NumPy fallback path for both tasks."""
+
+    @pytest.mark.parametrize("task", ["edos", "phdos"])
+    def test_native_matches_numpy(self, task, monkeypatch):
+        from dostransformer_tpu import native
+        from dostransformer_tpu.data.graph import collate
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        gen = (synthetic_edos_samples if task == "edos"
+               else synthetic_phdos_samples)
+        samples = gen(5, seed=31, min_atoms=3, max_atoms=11)
+        monkeypatch.setenv("DOSTPU_NATIVE_COLLATE", "1")
+        b_native = collate(samples)
+        monkeypatch.delenv("DOSTPU_NATIVE_COLLATE")
+        b_numpy = collate(samples)
+        for name in ("nodes", "senders", "receivers", "node_mask",
+                     "edge_mask", "y", "system", "graph_mask", "sample_id",
+                     "edges", "edge_vec", "edge_shift", "glob", "node_z"):
+            x, ref = getattr(b_native, name), getattr(b_numpy, name)
+            assert (x is None) == (ref is None), name
+            if x is not None:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(ref),
+                                              err_msg=name)
+
+
 class TestElementBalancedSplitDifferential:
     """Order-exact differential test of element_balanced_split against a
     transcription of the reference algorithm (utils.py:176-245), including
