@@ -109,40 +109,51 @@ def _pick_nb(b: int, per_elem_bytes: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile",))
-def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
-    b, lq, d = q.shape
-    lk = k.shape[1]
-    scale = d ** -0.5
+def _attn_precision():
     # Match the rest of the model: single-pass bf16 MXU (DEFAULT) — the same
     # precision every Linear/einsum in the model (and this kernel's OWN
     # backward) already uses on TPU. Golden parity runs on CPU where matmuls
     # are true f32 regardless; end-to-end f32-vs-bf16 accuracy is validated
     # by benchmarks/convergence_demo.py (BASELINE.md). Set
     # DOSTPU_ATTN_HIGHEST=1 to force 6-pass exact-f32 passes for debugging.
-    precision = (jax.lax.Precision.HIGHEST
-                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
-                 else jax.lax.Precision.DEFAULT)
+    return (jax.lax.Precision.HIGHEST
+            if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
+            else jax.lax.Precision.DEFAULT)
 
+
+def _pad_operands(q, k, v, bias, q_tile: int):
+    """Lane-align q/k/v/bias for the kernels: [B, lq_pad, d_pad] etc. with
+    zero rows/cols and NEG_INF bias on padded keys."""
+    b, lq, d = q.shape
+    lk = k.shape[1]
     lq_pad = _round_up(lq, 8)
     tq = min(q_tile, lq_pad)
     lq_pad = _round_up(lq_pad, tq)
     lk_pad = _round_up(lk, 128)
     d_pad = _round_up(d, 128)
-    # q/o blocks + k/v blocks at operand itemsize, plus the f32 score and
-    # softmax tiles
-    per_elem = (2 * tq * d_pad + 2 * lk_pad * d_pad) * q.dtype.itemsize \
-        + 2 * tq * lk_pad * 4
-    nb = _pick_nb(b, per_elem)
-
     qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
     kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
     vb = jnp.zeros((b, lk_pad, d_pad), v.dtype).at[:, :lk, :d].set(v)
     # pad keys masked out
     biasb = jnp.full((b, 1, lk_pad), NEG_INF, jnp.float32).at[:, 0, :lk].set(bias)
+    return qb, kb, vb, biasb, tq
+
+
+def _fwd_kernel_call(qb, kb, vb, biasb, *, d: int, tq: int):
+    """Run the forward kernel on pre-padded operands; returns the PADDED
+    [B, lq_pad, d_pad] output."""
+    b, lq_pad, d_pad = qb.shape
+    lk_pad = kb.shape[1]
+    scale = d ** -0.5
+    precision = _attn_precision()
+    # q/o blocks + k/v blocks at operand itemsize, plus the f32 score and
+    # softmax tiles
+    per_elem = (2 * tq * d_pad + 2 * lk_pad * d_pad) * qb.dtype.itemsize \
+        + 2 * tq * lk_pad * 4
+    nb = _pick_nb(b, per_elem)
 
     grid = (b // nb, lq_pad // tq)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, precision=precision,
                           nb=nb),
         grid=grid,
@@ -153,10 +164,31 @@ def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
             pl.BlockSpec((nb, 1, lk_pad), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nb, tq, d_pad), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lq_pad, d_pad), qb.dtype),
         interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
     )(qb, kb, vb, biasb)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
+    b, lq, d = q.shape
+    qb, kb, vb, biasb, tq = _pad_operands(q, k, v, bias, q_tile)
+    out = _fwd_kernel_call(qb, kb, vb, biasb, d=d, tq=tq)
     return out[:, :lq, :d]
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def _fused_attention_fwd_keep(q, k, v, bias, *, q_tile: int = 256):
+    """Forward that ALSO returns the padded operands, so a Pallas backward
+    can consume them as residuals instead of re-padding q/k/v from HBM —
+    the fwd already materialized these buffers as kernel inputs, so saving
+    them is free while the bwd's three large pad copies disappear
+    (BASELINE.md B=64 burn-down: the remaining copy floor was exactly these
+    boundary pads)."""
+    b, lq, d = q.shape
+    qb, kb, vb, biasb, tq = _pad_operands(q, k, v, bias, q_tile)
+    out = _fwd_kernel_call(qb, kb, vb, biasb, d=d, tq=tq)
+    return out[:, :lq, :d], qb, kb, vb
 
 
 @jax.custom_vjp
@@ -165,6 +197,11 @@ def _fused_attention(q, k, v, bias):
 
 
 def _fused_fwd(q, k, v, bias):
+    if _use_pallas_bwd(q.shape[0]):
+        # padded residuals: bias stays unpadded ([B, Lk] — tiny) so the
+        # backward can recover the real Lk/Lq/D from (bias, g) shapes
+        o, qb, kb, vb = _fused_attention_fwd_keep(q, k, v, bias)
+        return o, (qb, kb, vb, bias)
     o = _fused_attention_fwd(q, k, v, bias)
     return o, (q, k, v, bias)
 
@@ -173,14 +210,14 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float, precision,
                      nb: int):
     # recompute-in-kernel backward: the [Lq, Lk] score/softmax tiles and the
-    # five matmuls stay in VMEM. MEASURED NEGATIVE at the flagship shapes
-    # (opt-in via DOSTPU_ATTN_PALLAS_BWD=1): the kernel itself runs 13.6
-    # us/call (81.5 us/step for 6 calls) and removes ~90 us of XLA fusions,
-    # but the lane-alignment pad of 4 inputs and the un-pad of 3 outputs per
-    # call adds ~55 us of copies — net step time 1088 -> 1112 us. The XLA
-    # composition stays the default; revisit if shapes grow to tile
-    # boundaries (Lq multiple of 8 AND Lk/D multiples of 128 make the pads
-    # free).
+    # five matmuls stay in VMEM. Dispatch is batch-dependent (see
+    # _use_pallas_bwd): XLA einsums win at small batch, this kernel wins
+    # +6-10% at >= 64 elements. q/k/v arrive PRE-PADDED (the fwd's own
+    # kernel-input buffers, saved as residuals); only g and the bias row are
+    # padded here. Saving padded residuals measured NEUTRAL end-to-end
+    # (B=64: 5,291 vs 5,285 samples/s — XLA already CSE'd the duplicate
+    # fwd/bwd pads) but makes that elision structural instead of
+    # optimizer-dependent.
     for i in range(nb):
         q = q_ref[i]
         k = k_ref[i]
@@ -207,25 +244,22 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
 
 
 @jax.jit
-def _fused_attention_bwd(q, k, v, bias, g):
-    b, lq, d = q.shape
-    lk = k.shape[1]
+def _fused_attention_bwd(qb, kb, vb, bias, g):
+    """Backward on PADDED q/k/v residuals (saved by _fused_attention_fwd_keep
+    — the fwd's own kernel-input buffers, so no pad copies here beyond g and
+    the tiny bias row). Real Lq/D come from g, real Lk from bias."""
+    b, lq, d = g.shape
+    lk = bias.shape[1]
+    lq_pad, d_pad = qb.shape[1], qb.shape[2]
+    lk_pad = kb.shape[1]
     scale = d ** -0.5
-    precision = (jax.lax.Precision.HIGHEST
-                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
-                 else jax.lax.Precision.DEFAULT)
-    lq_pad = _round_up(lq, 8)
-    lk_pad = _round_up(lk, 128)
-    d_pad = _round_up(d, 128)
+    precision = _attn_precision()
     # q/g/dq blocks + k/v/dk/dv blocks at operand itemsize, plus four f32
     # [Lq, Lk] tiles (s, p, dp, ds)
-    per_elem = (3 * lq_pad * d_pad + 4 * lk_pad * d_pad) * q.dtype.itemsize \
+    per_elem = (3 * lq_pad * d_pad + 4 * lk_pad * d_pad) * qb.dtype.itemsize \
         + 4 * lq_pad * lk_pad * 4
     nb = _pick_nb(b, per_elem)
 
-    qb = jnp.zeros((b, lq_pad, d_pad), q.dtype).at[:, :lq, :d].set(q)
-    kb = jnp.zeros((b, lk_pad, d_pad), k.dtype).at[:, :lk, :d].set(k)
-    vb = jnp.zeros((b, lk_pad, d_pad), v.dtype).at[:, :lk, :d].set(v)
     gb = jnp.zeros((b, lq_pad, d_pad), g.dtype).at[:, :lq, :d].set(g)
     # padded keys masked out; padded-query rows have g == 0 so every one of
     # their contributions cancels
@@ -244,9 +278,9 @@ def _fused_attention_bwd(q, k, v, bias, g):
                   blk(lq_pad)],
         out_specs=[blk(lq_pad), blk(lk_pad), blk(lk_pad)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, lq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, lk_pad, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b, lk_pad, d_pad), v.dtype),
+            jax.ShapeDtypeStruct((b, lq_pad, d_pad), qb.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, d_pad), kb.dtype),
+            jax.ShapeDtypeStruct((b, lk_pad, d_pad), vb.dtype),
         ],
         interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
     )(qb, kb, vb, biasb, gb)
@@ -270,10 +304,12 @@ def _use_pallas_bwd(b: int) -> bool:
 
 
 def _fused_bwd(res, g):
-    q, k, v, bias = res
-    if _use_pallas_bwd(q.shape[0]):
-        dq, dk, dv = _fused_attention_bwd(q, k, v, bias, g)
+    if _use_pallas_bwd(g.shape[0]):
+        # res holds the fwd's PADDED kernel operands (see _fused_fwd)
+        qb, kb, vb, bias = res
+        dq, dk, dv = _fused_attention_bwd(qb, kb, vb, bias, g)
         return dq, dk, dv, None
+    q, k, v, bias = res
     d = q.shape[-1]
     scale = d ** -0.5
     s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]

@@ -45,15 +45,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # Env markers of a managed multi-process launch that jax.distributed can
-# auto-detect (Slurm / Open MPI / TPU pod metadata / GKE jobset). Presence of
-# any of these means "the user *is* running multi-process" — a failed init
-# must then raise, never silently degrade to single-process training on 1/N
-# of the data.
+# auto-detect (Slurm / Open MPI / TPU pod metadata / GKE jobset). A marker
+# that implies ANOTHER process exists means "the user *is* running
+# multi-process" — a failed init must then raise, never silently degrade to
+# single-process training on 1/N of the data. Markers that merely say "this
+# is a managed TPU VM" with a SINGLE worker (e.g. TPU_WORKER_HOSTNAMES with
+# one hostname — set by single-host TPU VM images and by this env's tunnel
+# runtime) are NOT a cluster: there is no other process to lose data to, so
+# they must not force an init that would raise once the backend is up.
 _CLUSTER_ENV_VARS = (
     "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
     "TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
     "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
 )
+
+
+def _cluster_is_multiprocess() -> bool:
+    """True iff the environment indicates a launch with MORE THAN ONE
+    process (the case where silent single-process fallback would train on
+    1/N of the data)."""
+    env = os.environ
+    # explicit coordinator: someone is pointing at a rendezvous — always
+    # treat as multi-process (a dead coordinator must fail loudly)
+    for v in ("MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+              "COORDINATOR_ADDRESS"):
+        if env.get(v):
+            return True
+    # size-carrying markers: multi-process only when size > 1
+    for v in ("OMPI_COMM_WORLD_SIZE", "PMI_SIZE", "SLURM_NTASKS",
+              "SLURM_NPROCS"):
+        val = env.get(v)
+        if val:
+            try:
+                if int(val) > 1:
+                    return True
+            except ValueError:
+                return True  # unparseable size: prefer the loud path
+    # bare SLURM_JOB_ID without a task count is a 1-task allocation wrapper:
+    # intentionally NOT a multi-process marker on its own
+    hostnames = env.get("TPU_WORKER_HOSTNAMES")
+    if hostnames:
+        return "," in hostnames  # one hostname == single-worker TPU VM
+    # worker/task ids without a hostnames list: ambiguous — prefer loud
+    return bool(env.get("TPU_SKYLARK_WORKER_ID")
+                or env.get("CLOUD_TPU_TASK_ID"))
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -82,9 +117,9 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         return True  # already initialized
     explicit = any(v is not None
                    for v in (coordinator_address, num_processes, process_id))
-    in_cluster = any(os.environ.get(v) for v in _CLUSTER_ENV_VARS)
-    if not explicit and not in_cluster:
-        return False  # documented single-process case
+    if not explicit and not _cluster_is_multiprocess():
+        return False  # documented single-process case (incl. single-worker
+                      # managed TPU VMs — see _cluster_is_multiprocess)
     kwargs = {}
     if initialization_timeout is not None:
         kwargs["initialization_timeout"] = initialization_timeout

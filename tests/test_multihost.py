@@ -79,6 +79,41 @@ class TestFailureSemantics:
         # no explicit args, no cluster launcher in env -> documented no-op
         assert initialize_multihost() is False
 
+    def test_single_worker_tpu_vm_is_noop(self, monkeypatch):
+        # single-host managed TPU VMs (and this env's tunnel runtime) export
+        # TPU_WORKER_HOSTNAMES with ONE hostname — there is no second
+        # process to silently lose data to, so init must be a no-op, not an
+        # attempted jax.distributed.initialize (which raises once the XLA
+        # backend is up — the exact failure this pins)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        assert initialize_multihost() is False
+
+    def test_multiprocess_markers_detected(self, monkeypatch):
+        from dostransformer_tpu.parallel.mesh import _cluster_is_multiprocess
+        for var in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+                    "TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_WORKER_ID",
+                    "MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                    "COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+                    "SLURM_NTASKS", "SLURM_NPROCS"):
+            monkeypatch.delenv(var, raising=False)
+        assert not _cluster_is_multiprocess()
+        # single-worker / single-task markers: not multi-process
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "t1v-n-x-w-0")
+        monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "1")
+        monkeypatch.setenv("SLURM_JOB_ID", "1234")
+        assert not _cluster_is_multiprocess()
+        # a second worker appears -> multi-process
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w-0,w-1")
+        assert _cluster_is_multiprocess()
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w-0")
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        assert _cluster_is_multiprocess()
+        monkeypatch.setenv("SLURM_NTASKS", "1")
+        assert not _cluster_is_multiprocess()
+        # explicit coordinator address always forces the loud path
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        assert _cluster_is_multiprocess()
+
     def test_botched_init_fails_loudly(self, tmp_path):
         # explicit coordinator that doesn't exist: must fail LOUDLY — either
         # a Python exception or the distributed client's fatal abort (the

@@ -92,13 +92,15 @@ class TestAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
-    def test_fused_gradients_pallas_bwd(self, monkeypatch):
+    @pytest.mark.parametrize("b,lq,lk,d", [(4, 16, 24, 64), (2, 201, 33, 96)])
+    def test_fused_gradients_pallas_bwd(self, b, lq, lk, d, monkeypatch):
         """Pallas backward kernel (default at b >= 64 elements, where it was
         measured +6-10% end-to-end; XLA einsums below — see _use_pallas_bwd)
-        must match the jnp backward."""
+        must match the jnp backward — including at every-axis-misaligned
+        shapes, which exercise the padded residuals saved by
+        _fused_attention_fwd_keep."""
         monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")
         rng = np.random.RandomState(4)
-        b, lq, lk, d = 4, 16, 24, 64
         q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
                    for n in (lq, lk, lk))
         mask = jnp.array(rng.rand(b, lk) > 0.2)
