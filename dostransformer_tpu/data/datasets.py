@@ -141,10 +141,12 @@ class GraphLoader:
         edges_per_graph: Optional[int] = None,
         use_buckets: bool = True,
         drop_last: bool = False,
+        numpy: bool = False,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.numpy = numpy
         self.rng = np.random.RandomState(seed)
         max_n = max(s.n_nodes for s in self.samples)
         max_e = max(s.n_edges for s in self.samples)
@@ -167,4 +169,4 @@ class GraphLoader:
             chunk = [self.samples[j] for j in order[i: i + bs]]
             yield collate(chunk, atoms_per_graph=self.atoms_per_graph,
                           edges_per_graph=self.edges_per_graph,
-                          num_graphs=bs)
+                          num_graphs=bs, numpy=self.numpy)

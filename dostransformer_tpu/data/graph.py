@@ -134,12 +134,15 @@ def collate(
     edges_per_graph: Optional[int] = None,
     num_graphs: Optional[int] = None,
     use_buckets: bool = True,
+    numpy: bool = False,
 ) -> GraphBatch:
     """Collate host-side samples into one fixed-shape GraphBatch.
 
     atoms_per_graph / edges_per_graph / num_graphs may be pinned (e.g.
     dataset-level maxima -> a single compiled shape) or derived per batch via
-    power-of-two buckets.
+    power-of-two buckets. ``numpy=True`` keeps the leaves as host arrays —
+    for callers that stack several batches before a single device upload
+    (serve.Predictor's chunked scan) instead of uploading per batch.
     """
     b_real = len(samples)
     b = num_graphs or b_real
@@ -239,7 +242,7 @@ def collate(
         glob[:b_real] = np.stack([np.asarray(s.glob, np.float32)
                                   for s in samples])
 
-    j = jnp.asarray
+    j = (lambda x: x) if numpy else jnp.asarray
     return GraphBatch(
         nodes=j(nodes), senders=j(senders), receivers=j(receivers),
         node_mask=j(node_mask), edge_mask=j(edge_mask), y=j(y),

@@ -51,6 +51,18 @@ class Predictor:
                 dos = jax.numpy.where(dos < 0, 0.0, dos)
             return dos
 
+        def forward_chunk(params, stacked):
+            # scan the forward over a [S, B, ...] stack of batches: ONE
+            # device dispatch (and one input upload) per chunk instead of
+            # per batch — the serving analogue of the trainer's
+            # scan-compiled epochs; returns [S*B, bins]
+            def body(c, b):
+                return c, forward(params, b)
+
+            _, out = jax.lax.scan(body, jax.numpy.zeros((), jax.numpy.int32),
+                                  stacked)
+            return out.reshape((-1, out.shape[-1]))
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -65,8 +77,15 @@ class Predictor:
                 forward, in_shardings=(self._param_sharding,
                                        self._batch_sharding),
                 out_shardings=self._batch_sharding)
+            # stacked batches are [S, B, ...]: batch axis is axis 1
+            chunk_sharding = NamedSharding(mesh, P(None, "data"))
+            self._forward_chunk = jax.jit(
+                forward_chunk, in_shardings=(self._param_sharding,
+                                             chunk_sharding),
+                out_shardings=self._batch_sharding)
         else:
             self._forward = jax.jit(forward)
+            self._forward_chunk = jax.jit(forward_chunk)
 
     @classmethod
     def from_checkpoint(
@@ -104,18 +123,80 @@ class Predictor:
         return cls(model, state.params, batch_size=batch_size,
                    clamp=(task == "edos"), mesh=mesh)
 
+    # batches per scan dispatch: greedy largest-first from power-of-two
+    # sizes keeps the compiled executable count bounded (4 per bucket shape)
+    # with <2x dispatch count over optimal for any request size
+    _CHUNKS = (8, 4, 2, 1)
+    # per-chunk input byte budget: chunks amortize per-dispatch overhead,
+    # but an over-large stacked upload serializes against the device and
+    # (through the tunneled backend) transfers far slower than pipelined
+    # per-batch uploads — measured B=64: 465 ms/batch chunked vs 179
+    # unchunked. Under the budget only small batches chunk; a batch that
+    # alone exceeds it dispatches individually with no stacking copy.
+    _CHUNK_BYTES = 8 * 1024 * 1024
+
+    def _pick_chunk(self, remaining: int, batch_bytes: int) -> int:
+        for c in self._CHUNKS:
+            if c <= remaining and c * batch_bytes <= self._CHUNK_BYTES:
+                return c
+        return 1
+
     def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
         """DOS spectra for the given samples, [N, bins], input order.
 
-        Pipelined: every batch is DISPATCHED before any result is fetched —
-        JAX dispatch is async, so host collation of batch i+1 overlaps with
-        device compute of batch i, and the host↔device round trip (which
-        through the tunneled backend costs ~30-55 ms per fetch) is paid once
-        per call, not once per batch."""
-        loader = GraphLoader(list(samples), batch_size=self.batch_size)
-        pending = [(self._forward(self.params, batch),
-                    np.asarray(batch.graph_mask) > 0.5)
-                   for batch in loader]
-        outs: List[np.ndarray] = [np.asarray(dos)[keep]
-                                  for dos, keep in pending]
+        The request is collated on the host (NumPy leaves) and dispatched in
+        byte-budgeted chunks — a [S, B, ...] stack scanned in ONE jitted
+        dispatch when several batches fit the budget (amortizing dispatch
+        overhead for small batches), individual batches otherwise (keeping
+        upload/compute pipelining for large ones). All chunks are dispatched
+        before any result is fetched, the outputs concatenate on device, and
+        a single fetch returns the whole request — the fetch round trip is
+        paid once per call, never per batch."""
+        loader = GraphLoader(list(samples), batch_size=self.batch_size,
+                             numpy=True)
+        keeps = []
+        pending = []
+        buf: List = []
+        chunk_target = None
+
+        def flush():
+            # dispatch the buffered batches in greedy power-of-two chunks
+            i = 0
+            while i < len(buf):
+                s = self._pick_chunk(len(buf) - i, batch_bytes)
+                if s == 1:
+                    # eager per-leaf device_put before dispatch: the leaf
+                    # transfers start (async) immediately and overlap the
+                    # next batch's collation — passing the numpy leaves as
+                    # jit args instead serializes one large upload per
+                    # dispatch (measured 1,741 vs 661 ms/batch at B=256
+                    # through the tunnel)
+                    dev_b = jax.tree.map(jax.numpy.asarray, buf[i])
+                    pending.append(self._forward(self.params, dev_b))
+                else:
+                    stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                                           *buf[i: i + s])
+                    pending.append(self._forward_chunk(self.params, stacked))
+                i += s
+            buf.clear()
+
+        # STREAM: collate -> dispatch as batches arrive, so host collation
+        # of batch/chunk i+1 overlaps device compute and upload of chunk i
+        # (collating the whole request first serializes them — measured
+        # 1,025 vs 661 ms/batch at B=256)
+        for batch in loader:
+            keeps.append(np.asarray(batch.graph_mask) > 0.5)
+            if chunk_target is None:
+                batch_bytes = sum(x.nbytes for x in jax.tree.leaves(batch))
+                chunk_target = self._pick_chunk(len(loader), batch_bytes)
+            buf.append(batch)
+            if len(buf) == chunk_target:
+                flush()
+        flush()
+        dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
+               else pending[0])
+        flat = np.asarray(dev)                      # ONE host transfer
+        bs = self.batch_size
+        outs: List[np.ndarray] = [flat[i * bs: i * bs + bs][keep]
+                                  for i, keep in enumerate(keeps)]
         return np.concatenate(outs, axis=0)

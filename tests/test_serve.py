@@ -40,6 +40,30 @@ class TestPredictor:
         np.testing.assert_allclose(p1.predict(samples), p2.predict(samples),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_chunked_scan_matches_unchunked(self):
+        """The byte-budgeted scan chunking (requests spanning several
+        batches run as [S, B, ...] lax.scan dispatches) must be
+        sample-exact vs the per-batch dispatch path, across chunk
+        boundaries and through a dummy-padded short final batch."""
+        samples = synthetic_phdos_samples(45, seed=11)  # 12 batches: 8+4
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        import jax
+
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        batch = next(iter(GraphLoader(samples, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+        chunked = Predictor(model, params, batch_size=4)
+        out = chunked.predict(samples)
+        assert out.shape[0] == 45
+        unchunked = Predictor(model, params, batch_size=4)
+        unchunked._CHUNK_BYTES = 1  # every batch over budget -> s == 1 path
+        np.testing.assert_allclose(unchunked.predict(samples), out,
+                                   rtol=1e-6, atol=1e-7)
+        one = chunked.predict(samples[32:33])  # single-batch request
+        np.testing.assert_allclose(out[32], one[0], rtol=1e-5, atol=1e-6)
+
 
 class TestMeshServing:
     def test_mesh_predictions_match_single_device(self):
