@@ -17,8 +17,10 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser("dostpu-predict")
-    p.add_argument("--task", required=True, choices=["edos", "phdos"])
-    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--task", choices=["edos", "phdos"],
+                   help="required unless --from_exported")
+    p.add_argument("--checkpoint_dir",
+                   help="training checkpoint to serve (or --from_exported)")
     p.add_argument("--input", required=True, help="featurized samples .npz")
     p.add_argument("--output", required=True, help="predictions .npz")
     p.add_argument("--embedder", default="DOSTransformer")
@@ -30,22 +32,40 @@ def main(argv=None):
                    help="shard each inference batch over all visible devices "
                         "(params replicated — the pod serving layout); "
                         "--batch_size must divide by the device count")
+    p.add_argument("--export", metavar="DIR",
+                   help="after loading the checkpoint, write an "
+                        "ahead-of-time serving artifact (StableHLO with "
+                        "baked weights, loadable via --from_exported "
+                        "without the model stack) and exit")
+    p.add_argument("--from_exported", metavar="DIR",
+                   help="serve a Predictor.export artifact instead of a "
+                        "checkpoint (ignores the model-shape flags)")
     args = p.parse_args(argv)
 
     from dostransformer_tpu.data.io import load_samples
-    from dostransformer_tpu.serve import Predictor
+    from dostransformer_tpu.serve import ExportedPredictor, Predictor
 
-    mesh = None
-    if args.data_parallel:
-        from dostransformer_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(axes=("data",))
     samples = load_samples(args.input)
-    predictor = Predictor.from_checkpoint(
-        args.checkpoint_dir, task=args.task, example=samples[0],
-        embedder=args.embedder, layers=args.layers,
-        t_layers=args.transformer, hidden=args.hidden,
-        batch_size=args.batch_size, mesh=mesh)
+    if args.from_exported:
+        predictor = ExportedPredictor(args.from_exported)
+    else:
+        if not (args.task and args.checkpoint_dir):
+            p.error("--task and --checkpoint_dir are required unless "
+                    "--from_exported is given")
+        mesh = None
+        if args.data_parallel:
+            from dostransformer_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axes=("data",))
+        predictor = Predictor.from_checkpoint(
+            args.checkpoint_dir, task=args.task, example=samples[0],
+            embedder=args.embedder, layers=args.layers,
+            t_layers=args.transformer, hidden=args.hidden,
+            batch_size=args.batch_size, mesh=mesh)
+        if args.export:
+            predictor.export(args.export, samples)
+            print(f"exported serving artifact -> {args.export}")
+            return None
     dos = predictor.predict(samples)
     np.savez_compressed(
         args.output, dos=dos,

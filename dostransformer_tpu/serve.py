@@ -14,6 +14,8 @@ Example:
 
 from __future__ import annotations
 
+import json
+import os
 from typing import List, Sequence
 
 import jax
@@ -199,4 +201,94 @@ class Predictor:
         bs = self.batch_size
         outs: List[np.ndarray] = [flat[i * bs: i * bs + bs][keep]
                                   for i, keep in enumerate(keeps)]
+        return np.concatenate(outs, axis=0)
+
+    def export(self, path: str, example: Sequence[GraphSample],
+               platforms: Sequence[str] | None = None) -> None:
+        """Serialize an ahead-of-time serving artifact to ``path``.
+
+        The jitted forward — with the current params BAKED IN as constants —
+        is exported to portable StableHLO bytes (``jax.export``) plus a JSON
+        sidecar with the collation geometry. The artifact is loadable by
+        :class:`ExportedPredictor` WITHOUT the model definition, flax, or
+        the training stack: the deployment story for serving fleets (the
+        reference never serializes its model at all — SURVEY.md §5).
+
+        ``example`` fixes the padding buckets (and must cover the serving
+        shape envelope — collation of larger crystals asserts loudly).
+        ``platforms`` optionally cross-exports (e.g. ``("cpu", "tpu")``);
+        the default exports for the current backend.
+        """
+        from jax import export as jexport
+
+        loader = GraphLoader(list(example), batch_size=self.batch_size,
+                             numpy=True)
+        batch = next(iter(loader))
+        leaves, treedef = jax.tree.flatten(batch)
+        params = self.params
+        fwd = self._forward
+
+        # flat-leaf calling convention: custom-pytree serialization is not
+        # needed at load time, only the leaf order (re-derived by flattening
+        # a batch collated with the same geometry)
+        def flat_fn(*ls):
+            return fwd(params, jax.tree.unflatten(treedef, ls))
+
+        specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+        exp = jexport.export(jax.jit(flat_fn), platforms=platforms)(*specs)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "forward.stablehlo"), "wb") as f:
+            f.write(exp.serialize())
+        meta = {
+            "batch_size": self.batch_size,
+            "atoms_per_graph": loader.atoms_per_graph,
+            "edges_per_graph": loader.edges_per_graph,
+            "bins": int(exp.out_avals[0].shape[-1]),
+            "n_leaves": len(leaves),
+            "clamp": self.clamp,
+        }
+        with open(os.path.join(path, "serving_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
+
+class ExportedPredictor:
+    """Serve from a :meth:`Predictor.export` artifact — no model code.
+
+    Loads the StableHLO function (weights baked in) and the collation
+    geometry; ``predict`` matches :meth:`Predictor.predict` output exactly.
+    Runs on any platform the artifact was exported for."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, "serving_meta.json")) as f:
+            self.meta = json.load(f)
+        with open(os.path.join(path, "forward.stablehlo"), "rb") as f:
+            self._exp = jexport.deserialize(f.read())
+        self._call = jax.jit(self._exp.call)
+        self.batch_size = self.meta["batch_size"]
+
+    def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
+        """DOS spectra [N, bins]; same dispatch-all-then-fetch-once shape
+        as Predictor.predict (per-batch dispatch — the exported function is
+        single-batch by construction)."""
+        loader = GraphLoader(list(samples), batch_size=self.batch_size,
+                             atoms_per_graph=self.meta["atoms_per_graph"],
+                             edges_per_graph=self.meta["edges_per_graph"],
+                             numpy=True)
+        pending = []
+        keeps = []
+        for batch in loader:
+            leaves = jax.tree.leaves(batch)
+            assert len(leaves) == self.meta["n_leaves"], (
+                f"collated batch has {len(leaves)} leaves, artifact expects "
+                f"{self.meta['n_leaves']} — task/featurization mismatch")
+            pending.append(self._call(*leaves))
+            keeps.append(np.asarray(batch.graph_mask) > 0.5)
+        dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
+               else pending[0])
+        flat = np.asarray(dev)
+        bs = self.batch_size
+        outs = [flat[i * bs: i * bs + bs][keep]
+                for i, keep in enumerate(keeps)]
         return np.concatenate(outs, axis=0)

@@ -126,3 +126,59 @@ class TestMeshServing:
             "--batch_size", "8", "--data_parallel"])
         np.testing.assert_allclose(dos, p1.predict(samples),
                                    rtol=2e-4, atol=1e-6)
+
+
+class TestExportedServing:
+    def test_export_roundtrip_matches_live(self, tmp_path):
+        """Predictor.export -> ExportedPredictor: the ahead-of-time
+        StableHLO artifact (weights baked in, no model code at load time)
+        must reproduce the live predictor exactly, including a
+        dummy-padded short final batch."""
+        import jax
+
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.serve import ExportedPredictor
+
+        samples = synthetic_phdos_samples(14, seed=13)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(samples, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pred = Predictor(model, params, batch_size=4)
+        ref = pred.predict(samples)
+
+        art = tmp_path / "artifact"
+        pred.export(str(art), samples)
+        assert (art / "forward.stablehlo").exists()
+        ep = ExportedPredictor(str(art))
+        np.testing.assert_allclose(ep.predict(samples), ref,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_cli_export_and_serve(self, tmp_path):
+        """main_predict --export writes an artifact; --from_exported serves
+        it with predictions equal to checkpoint serving."""
+        from dostransformer_tpu.cli import main_predict, main_phdos
+        from dostransformer_tpu.data.io import save_samples
+
+        ck = tmp_path / "ckpt"
+        main_phdos.main([
+            "--synthetic", "16", "--epochs", "1", "--eval", "1",
+            "--hidden", "32", "--layers", "2", "--transformer", "1",
+            "--batch_size", "4", "--results_dir", str(tmp_path),
+            "--checkpoint_dir", str(ck), "--checkpoint_every", "1"])
+        samples = synthetic_phdos_samples(10, seed=14)
+        inp, out = tmp_path / "in.npz", tmp_path / "out.npz"
+        save_samples(str(inp), samples)
+        art = tmp_path / "artifact"
+        common = ["--input", str(inp), "--output", str(out),
+                  "--batch_size", "4"]
+        assert main_predict.main([
+            "--task", "phdos", "--checkpoint_dir", str(ck),
+            "--layers", "2", "--transformer", "1", "--hidden", "32",
+            "--export", str(art)] + common) is None
+        dos_ck = main_predict.main([
+            "--task", "phdos", "--checkpoint_dir", str(ck),
+            "--layers", "2", "--transformer", "1", "--hidden", "32"] + common)
+        dos_art = main_predict.main(["--from_exported", str(art)] + common)
+        np.testing.assert_allclose(dos_art, dos_ck, rtol=1e-5, atol=1e-6)
