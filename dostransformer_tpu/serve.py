@@ -217,7 +217,11 @@ class Predictor:
         ``example`` fixes the padding buckets (and must cover the serving
         shape envelope — collation of larger crystals asserts loudly).
         ``platforms`` optionally cross-exports (e.g. ``("cpu", "tpu")``);
-        the default exports for the current backend.
+        the default exports for the current backend. Validated on the real
+        TPU with the Pallas fused-attention forward (the Mosaic
+        ``tpu_custom_call`` is on jax.export's stable-custom-call list):
+        flagship eDOS artifact 26.7 MB, predictions bit-match the live
+        predictor.
         """
         from jax import export as jexport
 
