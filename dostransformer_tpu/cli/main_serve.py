@@ -1,0 +1,79 @@
+"""HTTP model-server driver: checkpoint or exported artifact -> endpoint.
+
+The reference has no serving entry point (SURVEY.md §5); this is the
+network-facing counterpart of main_predict.
+
+    # from a training checkpoint (needs one featurized sample for the
+    # param template + padding buckets):
+    python -m dostransformer_tpu.cli.main_serve \
+        --task phdos --checkpoint_dir ckpt/ --example data.npz --port 8000
+
+    # from an ahead-of-time artifact (no model flags needed):
+    python -m dostransformer_tpu.cli.main_serve \
+        --from_exported artifact/ --port 8000
+
+Protocol: POST /predict with a data/io.py samples npz body returns an npz
+{dos, sample_id, mp_id}; GET /healthz returns JSON. See serve_http.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_server(argv=None):
+    """Parse args and return the configured (unstarted) HTTP server."""
+    p = argparse.ArgumentParser("dostpu-serve")
+    p.add_argument("--task", choices=["edos", "phdos"],
+                   help="required unless --from_exported")
+    p.add_argument("--checkpoint_dir",
+                   help="training checkpoint to serve (or --from_exported)")
+    p.add_argument("--example",
+                   help="featurized samples .npz fixing the param template "
+                        "and padding buckets (required with "
+                        "--checkpoint_dir)")
+    p.add_argument("--from_exported", metavar="DIR",
+                   help="serve a Predictor.export artifact (ignores the "
+                        "model-shape flags)")
+    p.add_argument("--embedder", default="DOSTransformer")
+    p.add_argument("--layers", type=int, default=3)
+    p.add_argument("--transformer", type=int, default=2)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    from dostransformer_tpu.serve import ExportedPredictor, Predictor
+    from dostransformer_tpu.serve_http import make_server
+
+    if args.from_exported:
+        predictor = ExportedPredictor(args.from_exported)
+    else:
+        if not (args.task and args.checkpoint_dir and args.example):
+            p.error("--task, --checkpoint_dir and --example are required "
+                    "unless --from_exported is given")
+        from dostransformer_tpu.data.io import load_samples
+
+        example = load_samples(args.example)[0]
+        predictor = Predictor.from_checkpoint(
+            args.checkpoint_dir, task=args.task, example=example,
+            embedder=args.embedder, layers=args.layers,
+            t_layers=args.transformer, hidden=args.hidden,
+            batch_size=args.batch_size)
+    return make_server(predictor, host=args.host, port=args.port)
+
+
+def main(argv=None):
+    server = build_server(argv)
+    host, port = server.server_address[:2]
+    print(f"serving on http://{host}:{port}  "
+          f"(POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,9 @@ def save_samples(path: str, samples: List[GraphSample]) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_samples(path: str) -> List[GraphSample]:
+def load_samples(path) -> List[GraphSample]:
+    """Load a save_samples npz from a path or binary file-like object (the
+    HTTP server decodes request bodies through a BytesIO)."""
     z = np.load(path, allow_pickle=False)
     n = int(z["n_samples"])
     out = []

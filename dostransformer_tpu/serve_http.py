@@ -1,0 +1,83 @@
+"""Dependency-free HTTP model server over the serving path.
+
+The reference has no serving story at all (SURVEY.md §5); this completes the
+framework's: featurize -> (train ->) checkpoint or exported artifact ->
+network endpoint. Stdlib-only (http.server) — no new dependencies.
+
+Protocol (binary npz both ways — the same exchange format as data/io.py, so
+clients reuse ``save_samples`` to build request bodies):
+
+  POST /predict   body: featurized samples npz  ->  npz {dos, sample_id, mp_id}
+  GET  /healthz   ->  JSON {"status": "ok", "batch_size": ...}
+
+Device access is serialized with a lock (one TPU executor); request decode
+and response encode run concurrently on the ThreadingHTTPServer's threads.
+
+    server = make_server(predictor, port=8000)
+    server.serve_forever()
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from dostransformer_tpu.data.io import load_samples
+
+
+def make_server(predictor, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """HTTP server around a Predictor / ExportedPredictor. ``port=0`` binds
+    an ephemeral port (read it back from ``server.server_address``)."""
+    device_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; callers log themselves
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {
+                    "status": "ok",
+                    "batch_size": getattr(predictor, "batch_size", None)})
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                samples = load_samples(io.BytesIO(self.rfile.read(length)))
+            except Exception as e:  # malformed payload -> client error
+                self._send_json(400, {"error": f"bad request body: {e}"})
+                return
+            try:
+                with device_lock:
+                    dos = predictor.predict(samples)
+            except Exception as e:  # shape-envelope violations etc.
+                self._send_json(400, {"error": str(e)})
+                return
+            buf = io.BytesIO()
+            np.savez_compressed(
+                buf, dos=dos,
+                sample_id=np.asarray([s.sample_id for s in samples]),
+                mp_id=np.asarray([s.mp_id for s in samples]))
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)

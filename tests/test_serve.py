@@ -182,3 +182,108 @@ class TestExportedServing:
             "--layers", "2", "--transformer", "1", "--hidden", "32"] + common)
         dos_art = main_predict.main(["--from_exported", str(art)] + common)
         np.testing.assert_allclose(dos_art, dos_ck, rtol=1e-5, atol=1e-6)
+
+
+class TestHTTPServer:
+    def _post_npz(self, port, path, body):
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", path, body=body,
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        return resp.status, data
+
+    def test_predict_endpoint_matches_direct(self, tmp_path):
+        """POST /predict (samples npz in, dos npz out) must reproduce
+        Predictor.predict; /healthz serves JSON; malformed bodies get 400."""
+        import http.client
+        import io
+        import json
+        import threading
+
+        import jax
+
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.data.io import save_samples
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.serve_http import make_server
+
+        samples = synthetic_phdos_samples(10, seed=15)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(samples, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pred = Predictor(model, params, batch_size=4)
+        ref = pred.predict(samples)
+
+        server = make_server(pred, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("GET", "/healthz")
+            resp = conn.getresponse()
+            health = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 200 and health["status"] == "ok"
+            assert health["batch_size"] == 4
+
+            req = tmp_path / "req.npz"
+            save_samples(str(req), samples)
+            status, data = self._post_npz(port, "/predict",
+                                          req.read_bytes())
+            assert status == 200, data
+            out = np.load(io.BytesIO(data))
+            np.testing.assert_allclose(out["dos"], ref, rtol=1e-5, atol=1e-6)
+            assert list(out["sample_id"]) == [s.sample_id for s in samples]
+
+            status, data = self._post_npz(port, "/predict", b"not an npz")
+            assert status == 400 and b"bad request body" in data
+            status, _ = self._post_npz(port, "/nope", b"")
+            assert status == 404
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
+    def test_cli_builds_server_from_artifact(self, tmp_path):
+        """main_serve --from_exported builds a working endpoint around an
+        ExportedPredictor (no model flags)."""
+        import io
+        import threading
+
+        import jax
+
+        from dostransformer_tpu.cli import main_serve
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.data.io import save_samples
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+
+        samples = synthetic_phdos_samples(6, seed=16)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(samples, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pred = Predictor(model, params, batch_size=4)
+        art = tmp_path / "artifact"
+        pred.export(str(art), samples)
+
+        server = main_serve.build_server(
+            ["--from_exported", str(art), "--port", "0"])
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = tmp_path / "req.npz"
+            save_samples(str(req), samples)
+            status, data = self._post_npz(port, "/predict", req.read_bytes())
+            assert status == 200, data
+            out = np.load(io.BytesIO(data))
+            np.testing.assert_allclose(out["dos"], pred.predict(samples),
+                                       rtol=1e-5, atol=1e-6)
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
