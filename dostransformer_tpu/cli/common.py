@@ -325,6 +325,8 @@ def run_training(
                 epoch % cfg.checkpoint_every == 0:
             ckpt.save(epoch, state, tracker)
 
+    if ckpt is not None:
+        ckpt.wait_until_finished()  # async saves must be durable before exit
     elapsed = time.perf_counter() - t_start
     if profile_dir:
         jax.profiler.stop_trace()

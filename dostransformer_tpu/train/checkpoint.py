@@ -35,7 +35,17 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, epoch: int, state: TrainState, tracker: Optional[BestTracker] = None):
+    def save(self, epoch: int, state: TrainState,
+             tracker: Optional[BestTracker] = None, wait: bool = False):
+        """Checkpoint (TrainState, epoch, tracker) at ``epoch``.
+
+        ASYNC by default: orbax serializes to a temp dir on background
+        threads (atomic rename on completion, so a crash mid-save can never
+        leave a corrupt latest checkpoint) while training continues — the
+        save cost overlaps the next epochs' device compute. Orbax itself
+        serializes back-to-back saves. ``wait=True`` (or
+        :meth:`wait_until_finished` — the CLI calls it at training end)
+        blocks until durable."""
         meta = {"epoch": epoch}
         if tracker is not None:
             meta["tracker"] = {
@@ -52,12 +62,19 @@ class CheckpointManager:
                 meta=ocp.args.JsonSave(meta),
             ),
         )
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until every in-flight async save is durable on disk."""
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()  # in-flight saves count
         return self._mgr.latest_step()
 
     def restore(self, state_template: TrainState, epoch: Optional[int] = None):
+        self._mgr.wait_until_finished()  # never read a checkpoint mid-write
         epoch = epoch if epoch is not None else self._mgr.latest_step()
         if epoch is None:
             return None
