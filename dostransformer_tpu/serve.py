@@ -243,6 +243,23 @@ class Predictor:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "forward.stablehlo"), "wb") as f:
             f.write(exp.serialize())
+
+        # also export the scan-of-CHUNK forward so exported serving gets the
+        # same dispatch amortization as the live predictor (one dispatch per
+        # 8 batches for small-batch fleets)
+        fwd_chunk = self._forward_chunk
+
+        def flat_chunk_fn(*ls):
+            return fwd_chunk(params, jax.tree.unflatten(treedef, ls))
+
+        s = max(self._CHUNKS)
+        chunk_specs = [jax.ShapeDtypeStruct((s,) + l.shape, l.dtype)
+                       for l in leaves]
+        expc = jexport.export(jax.jit(flat_chunk_fn),
+                              platforms=platforms)(*chunk_specs)
+        with open(os.path.join(path, "forward_chunk.stablehlo"), "wb") as f:
+            f.write(expc.serialize())
+
         meta = {
             "batch_size": self.batch_size,
             "atoms_per_graph": loader.atoms_per_graph,
@@ -250,6 +267,7 @@ class Predictor:
             "bins": int(exp.out_avals[0].shape[-1]),
             "n_leaves": len(leaves),
             "clamp": self.clamp,
+            "chunk": s,
         }
         with open(os.path.join(path, "serving_meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -271,24 +289,54 @@ class ExportedPredictor:
             self._exp = jexport.deserialize(f.read())
         self._call = jax.jit(self._exp.call)
         self.batch_size = self.meta["batch_size"]
+        # scan-of-CHUNK variant (absent in pre-chunk artifacts)
+        self._call_chunk = None
+        self.chunk = int(self.meta.get("chunk", 0))
+        chunk_path = os.path.join(path, "forward_chunk.stablehlo")
+        if self.chunk > 1 and os.path.exists(chunk_path):
+            with open(chunk_path, "rb") as f:
+                self._call_chunk = jax.jit(jexport.deserialize(f.read()).call)
 
     def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
-        """DOS spectra [N, bins]; same dispatch-all-then-fetch-once shape
-        as Predictor.predict (per-batch dispatch — the exported function is
-        single-batch by construction)."""
+        """DOS spectra [N, bins]; same streamed dispatch + fetch-once shape
+        as Predictor.predict. Full groups of ``chunk`` batches run through
+        the exported scan function (one dispatch per group) when under the
+        byte budget; the remainder dispatches per batch."""
         loader = GraphLoader(list(samples), batch_size=self.batch_size,
                              atoms_per_graph=self.meta["atoms_per_graph"],
                              edges_per_graph=self.meta["edges_per_graph"],
                              numpy=True)
+        n_leaves = self.meta["n_leaves"]
         pending = []
         keeps = []
+        buf: List = []
+        use_chunk = False
+
+        def flush(final: bool):
+            if use_chunk and (len(buf) == self.chunk):
+                stacked = [np.stack(ls) for ls in zip(*buf)]
+                pending.append(self._call_chunk(*stacked))
+                buf.clear()
+            elif final:
+                for leaves in buf:
+                    dev_leaves = [jax.numpy.asarray(l) for l in leaves]
+                    pending.append(self._call(*dev_leaves))
+                buf.clear()
+
         for batch in loader:
             leaves = jax.tree.leaves(batch)
-            assert len(leaves) == self.meta["n_leaves"], (
+            assert len(leaves) == n_leaves, (
                 f"collated batch has {len(leaves)} leaves, artifact expects "
-                f"{self.meta['n_leaves']} — task/featurization mismatch")
-            pending.append(self._call(*leaves))
+                f"{n_leaves} — task/featurization mismatch")
+            if not keeps:  # first batch fixes the chunking decision
+                batch_bytes = sum(l.nbytes for l in leaves)
+                use_chunk = (self._call_chunk is not None
+                             and self.chunk * batch_bytes
+                             <= Predictor._CHUNK_BYTES)
             keeps.append(np.asarray(batch.graph_mask) > 0.5)
+            buf.append(leaves)
+            flush(final=not use_chunk)
+        flush(final=True)
         dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
                else pending[0])
         flat = np.asarray(dev)

@@ -140,7 +140,10 @@ class TestExportedServing:
         from dostransformer_tpu.models import DOSTransformerPhDOS
         from dostransformer_tpu.serve import ExportedPredictor
 
-        samples = synthetic_phdos_samples(14, seed=13)
+        # 38 samples / batch 4 -> 10 batches: one full scan-of-8 group
+        # through forward_chunk.stablehlo + 2 per-batch dispatches + a
+        # dummy-padded short final batch
+        samples = synthetic_phdos_samples(38, seed=13)
         model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
         b0 = next(iter(GraphLoader(samples, batch_size=4)))
         params = model.init(jax.random.PRNGKey(0), b0,
@@ -151,7 +154,13 @@ class TestExportedServing:
         art = tmp_path / "artifact"
         pred.export(str(art), samples)
         assert (art / "forward.stablehlo").exists()
+        assert (art / "forward_chunk.stablehlo").exists()
         ep = ExportedPredictor(str(art))
+        assert ep._call_chunk is not None and ep.chunk == 8
+        np.testing.assert_allclose(ep.predict(samples), ref,
+                                   rtol=1e-5, atol=1e-6)
+        # and the pure per-batch path (chunk disabled) must agree
+        ep._call_chunk = None
         np.testing.assert_allclose(ep.predict(samples), ref,
                                    rtol=1e-5, atol=1e-6)
 
