@@ -143,18 +143,47 @@ class Predictor:
                 return c
         return 1
 
-    def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
+    def predict(self, samples: Sequence[GraphSample],
+                bucketed: bool = True) -> np.ndarray:
         """DOS spectra for the given samples, [N, bins], input order.
 
-        The request is collated on the host (NumPy leaves) and dispatched in
-        byte-budgeted chunks — a [S, B, ...] stack scanned in ONE jitted
-        dispatch when several batches fit the budget (amortizing dispatch
-        overhead for small batches), individual batches otherwise (keeping
-        upload/compute pipelining for large ones). All chunks are dispatched
-        before any result is fetched, the outputs concatenate on device, and
-        a single fetch returns the whole request — the fetch round trip is
-        paid once per call, never per batch."""
-        loader = GraphLoader(list(samples), batch_size=self.batch_size,
+        ``bucketed`` (default): samples are grouped by their padding bucket
+        (power-of-two atoms/edges — data/graph.py bucket_size) and each
+        group predicts at ITS bucket shape instead of the request-wide
+        maxima — a mixed request of small and large crystals otherwise pads
+        every small crystal to the largest one's shape (up to ~25x wasted
+        pad FLOPs at the SURVEY §3.3 size envelope). One compiled
+        executable per occupied bucket pair; results reassemble in input
+        order.
+
+        Each group's batches collate on the host (NumPy leaves) and
+        dispatch in byte-budgeted chunks — a [S, B, ...] stack scanned in
+        ONE jitted dispatch when several batches fit the budget (amortizing
+        dispatch overhead for small batches), individual batches otherwise
+        (keeping upload/compute pipelining for large ones). All chunks are
+        dispatched before any result is fetched, the outputs concatenate on
+        device, and a single fetch returns the whole group — the fetch
+        round trip is paid once per group, never per batch."""
+        samples = list(samples)
+        if bucketed:
+            from dostransformer_tpu.data.graph import bucket_size
+
+            groups: dict = {}
+            for i, s in enumerate(samples):
+                key = (bucket_size(s.n_nodes),
+                       bucket_size(max(s.n_edges, 1)))
+                groups.setdefault(key, []).append(i)
+            if len(groups) > 1:
+                out = None
+                for idxs in groups.values():
+                    sub = self.predict([samples[i] for i in idxs],
+                                       bucketed=False)
+                    if out is None:
+                        out = np.empty((len(samples), sub.shape[1]),
+                                       sub.dtype)
+                    out[np.asarray(idxs)] = sub
+                return out
+        loader = GraphLoader(samples, batch_size=self.batch_size,
                              numpy=True)
         keeps = []
         pending = []

@@ -40,6 +40,30 @@ class TestPredictor:
         np.testing.assert_allclose(p1.predict(samples), p2.predict(samples),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_bucketed_mixed_sizes_match_unbucketed(self):
+        """A request mixing small and large crystals predicts each bucket
+        group at its own padded shape; results must equal the single
+        request-wide-bucket path, in input order."""
+        import jax
+
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+
+        small = synthetic_phdos_samples(9, seed=20, min_atoms=3, max_atoms=7)
+        large = synthetic_phdos_samples(8, seed=21, min_atoms=20,
+                                        max_atoms=28)
+        # interleave so bucket groups are non-contiguous in input order
+        mixed = [x for pair in zip(small, large) for x in pair] + [small[-1]]
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(mixed, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pred = Predictor(model, params, batch_size=4)
+        out_b = pred.predict(mixed)                      # bucketed default
+        out_u = pred.predict(mixed, bucketed=False)      # one wide bucket
+        assert out_b.shape == out_u.shape == (17, 51)
+        np.testing.assert_allclose(out_b, out_u, rtol=2e-4, atol=1e-5)
+
     def test_chunked_scan_matches_unchunked(self):
         """The byte-budgeted scan chunking (requests spanning several
         batches run as [S, B, ...] lax.scan dispatches) must be
