@@ -96,10 +96,63 @@ def measure(batch_size: int, lo: int = 4, hi: int = 24) -> dict:
     }
 
 
+def measure_mixed(batch_size: int = 8) -> dict:
+    """Bucketed vs request-wide-bucket inference on a size-mixed request:
+    half small crystals (4-24 atoms), half large (64-230 — the SURVEY §3.3
+    envelope). Unbucketed pads every small crystal to the large bucket."""
+    import time as _time
+
+    import jax
+
+    from dostransformer_tpu.data.datasets import GraphLoader
+    from dostransformer_tpu.data.synthetic import synthetic_edos_samples
+    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.serve import Predictor
+
+    small = synthetic_edos_samples(64, seed=0, min_atoms=4, max_atoms=24)
+    large = synthetic_edos_samples(64, seed=1, min_atoms=64, max_atoms=230)
+    mixed = [x for pair in zip(small, large) for x in pair]
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
+                               hidden=HIDDEN, use_pallas=on_tpu)
+    b0 = next(iter(GraphLoader(mixed, batch_size=batch_size)))
+    params = model.init(jax.random.PRNGKey(0), b0,
+                        deterministic=True)["params"]
+    pred = Predictor(model, params, batch_size=batch_size, clamp=True)
+
+    def timed(bucketed):
+        pred.predict(mixed, bucketed=bucketed)  # compile warmup
+        times = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            pred.predict(mixed, bucketed=bucketed)
+            times.append(_time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2]
+
+    t_unbucketed = timed(False)
+    t_bucketed = timed(True)
+    return {
+        "bench": "serve_predict_mixed",
+        "batch": batch_size,
+        "samples": len(mixed),
+        "wall_ms_bucketed": round(1e3 * t_bucketed, 1),
+        "wall_ms_unbucketed": round(1e3 * t_unbucketed, 1),
+        "speedup": round(t_unbucketed / t_bucketed, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[8, 64, 256])
+    ap.add_argument("--mixed", action="store_true",
+                    help="measure bucketed vs unbucketed on a size-mixed "
+                         "request instead of the batch-size sweep")
     args = ap.parse_args()
+    if args.mixed:
+        print(json.dumps(measure_mixed()))
+        return
     for b in args.batches:
         print(json.dumps(measure(b)))
 

@@ -147,14 +147,18 @@ class Predictor:
                 bucketed: bool = True) -> np.ndarray:
         """DOS spectra for the given samples, [N, bins], input order.
 
-        ``bucketed`` (default): samples are grouped by their padding bucket
-        (power-of-two atoms/edges — data/graph.py bucket_size) and each
-        group predicts at ITS bucket shape instead of the request-wide
-        maxima — a mixed request of small and large crystals otherwise pads
-        every small crystal to the largest one's shape (up to ~25x wasted
-        pad FLOPs at the SURVEY §3.3 size envelope). One compiled
-        executable per occupied bucket pair; results reassemble in input
-        order.
+        ``bucketed`` (default): samples are grouped by their ATOM padding
+        bucket (power-of-two — data/graph.py bucket_size; the edge bucket
+        then derives from each group's own maximum) and each group predicts
+        at ITS bucket shape instead of the request-wide maxima — a mixed
+        request of small and large crystals otherwise pads every small
+        crystal to the largest one's shape (up to ~25x wasted pad FLOPs at
+        the SURVEY §3.3 size envelope). Atom-bucket-only grouping keeps the
+        group count small (~6 across the whole size envelope): keying on
+        the edge bucket too was measured SLOWER end-to-end (0.45x on a
+        mixed request) because every 128-edge increment became its own
+        group with its own dispatch/fetch round trips and short-batch
+        dummy padding. Results reassemble in input order.
 
         Each group's batches collate on the host (NumPy leaves) and
         dispatch in byte-budgeted chunks — a [S, B, ...] stack scanned in
@@ -170,9 +174,7 @@ class Predictor:
 
             groups: dict = {}
             for i, s in enumerate(samples):
-                key = (bucket_size(s.n_nodes),
-                       bucket_size(max(s.n_edges, 1)))
-                groups.setdefault(key, []).append(i)
+                groups.setdefault(bucket_size(s.n_nodes), []).append(i)
             if len(groups) > 1:
                 out = None
                 for idxs in groups.values():
