@@ -169,6 +169,8 @@ class Predictor:
         device, and a single fetch returns the whole group — the fetch
         round trip is paid once per group, never per batch."""
         samples = list(samples)
+        if not samples:
+            raise ValueError("empty request: no samples to predict")
         if bucketed:
             from dostransformer_tpu.data.graph import bucket_size
 
@@ -333,7 +335,10 @@ class ExportedPredictor:
         as Predictor.predict. Full groups of ``chunk`` batches run through
         the exported scan function (one dispatch per group) when under the
         byte budget; the remainder dispatches per batch."""
-        loader = GraphLoader(list(samples), batch_size=self.batch_size,
+        samples = list(samples)
+        if not samples:
+            raise ValueError("empty request: no samples to predict")
+        loader = GraphLoader(samples, batch_size=self.batch_size,
                              atoms_per_graph=self.meta["atoms_per_graph"],
                              edges_per_graph=self.meta["edges_per_graph"],
                              numpy=True)
