@@ -45,6 +45,12 @@ def main(argv=None):
     from dostransformer_tpu.data.io import load_samples
     from dostransformer_tpu.serve import ExportedPredictor, Predictor
 
+    if args.from_exported and args.export:
+        p.error("--export requires a checkpoint (--checkpoint_dir); "
+                "it cannot re-export a --from_exported artifact")
+    if args.from_exported and args.data_parallel:
+        p.error("--data_parallel serves from a checkpoint; exported "
+                "artifacts are single-device functions")
     samples = load_samples(args.input)
     if args.from_exported:
         predictor = ExportedPredictor(args.from_exported)

@@ -152,8 +152,17 @@ def collate(
     max_e = max(s.n_edges for s in samples)
     a = atoms_per_graph or (bucket_size(max_n) if use_buckets else max_n)
     eg = edges_per_graph or (bucket_size(max(max_e, 1)) if use_buckets else max(max_e, 1))
-    assert a >= max_n, (a, max_n)
-    assert eg >= max_e, (eg, max_e)
+    # input validation, not an invariant (serving requests hit this with
+    # crystals beyond a pinned shape envelope): raise with a real message,
+    # and never strip under python -O
+    if a < max_n:
+        raise ValueError(
+            f"sample has {max_n} atoms but the pinned atoms_per_graph "
+            f"bucket is {a} — the request exceeds the shape envelope")
+    if eg < max_e:
+        raise ValueError(
+            f"sample has {max_e} edges but the pinned edges_per_graph "
+            f"bucket is {eg} — the request exceeds the shape envelope")
 
     fx = samples[0].x.shape[1]
     bins = samples[0].y.shape[-1]

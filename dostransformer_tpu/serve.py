@@ -26,6 +26,57 @@ from dostransformer_tpu.data.graph import GraphSample
 from dostransformer_tpu.models.registry import build_model
 
 
+def _stream_dispatch(loader, pick, dispatch_one, dispatch_chunk):
+    """Stream collated batches into device dispatches (shared by the live
+    and exported predictors so their serving semantics cannot drift).
+
+    Batches dispatch AS THEY ARRIVE, so host collation of batch/chunk i+1
+    overlaps device compute and upload of chunk i (collating the whole
+    request first was measured 1,025 vs 661 ms/batch at B=256).
+    ``pick(remaining, batch_bytes)`` chooses the group size: groups > 1
+    stack into one scan dispatch, size-1 groups dispatch individually with
+    eager per-leaf device_put (the transfers start async immediately;
+    passing numpy leaves as jit args instead serializes one large upload
+    per dispatch — measured 1,741 vs 661 ms/batch at B=256 through the
+    tunnel). Returns (pending device outputs, keep masks)."""
+    keeps: List[np.ndarray] = []
+    pending: List = []
+    buf: List = []
+    target = batch_bytes = None
+    for batch in loader:
+        keeps.append(np.asarray(batch.graph_mask) > 0.5)
+        if target is None:
+            batch_bytes = sum(x.nbytes for x in jax.tree.leaves(batch))
+            target = pick(len(loader), batch_bytes)
+        buf.append(batch)
+        if target == 1:
+            pending.append(dispatch_one(buf.pop()))
+        elif len(buf) == target:
+            pending.append(dispatch_chunk(buf))
+            buf.clear()
+    i = 0
+    while i < len(buf):  # remainder: greedy smaller groups
+        s = pick(len(buf) - i, batch_bytes)
+        if s == 1:
+            pending.append(dispatch_one(buf[i]))
+        else:
+            pending.append(dispatch_chunk(buf[i: i + s]))
+        i += s
+    return pending, keeps
+
+
+def _assemble(pending, keeps, batch_size: int) -> np.ndarray:
+    """Concatenate dispatched outputs ON DEVICE, fetch once, and drop the
+    dummy-graph rows of the short final batch — the fetch round trip is
+    paid once per call, never per batch."""
+    dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
+           else pending[0])
+    flat = np.asarray(dev)                          # ONE host transfer
+    outs = [flat[i * batch_size: i * batch_size + batch_size][keep]
+            for i, keep in enumerate(keeps)]
+    return np.concatenate(outs, axis=0)
+
+
 class Predictor:
     """Batched DOS inference over fixed-shape buckets.
 
@@ -65,6 +116,8 @@ class Predictor:
                                   stacked)
             return out.reshape((-1, out.shape[-1]))
 
+        self._forward_fn = forward          # raw (unjitted) fns — export()
+        self._forward_chunk_fn = forward_chunk  # retraces them single-device
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -189,52 +242,18 @@ class Predictor:
                 return out
         loader = GraphLoader(samples, batch_size=self.batch_size,
                              numpy=True)
-        keeps = []
-        pending = []
-        buf: List = []
-        chunk_target = None
 
-        def flush():
-            # dispatch the buffered batches in greedy power-of-two chunks
-            i = 0
-            while i < len(buf):
-                s = self._pick_chunk(len(buf) - i, batch_bytes)
-                if s == 1:
-                    # eager per-leaf device_put before dispatch: the leaf
-                    # transfers start (async) immediately and overlap the
-                    # next batch's collation — passing the numpy leaves as
-                    # jit args instead serializes one large upload per
-                    # dispatch (measured 1,741 vs 661 ms/batch at B=256
-                    # through the tunnel)
-                    dev_b = jax.tree.map(jax.numpy.asarray, buf[i])
-                    pending.append(self._forward(self.params, dev_b))
-                else:
-                    stacked = jax.tree.map(lambda *xs: np.stack(xs),
-                                           *buf[i: i + s])
-                    pending.append(self._forward_chunk(self.params, stacked))
-                i += s
-            buf.clear()
+        def one(batch):
+            dev_b = jax.tree.map(jax.numpy.asarray, batch)
+            return self._forward(self.params, dev_b)
 
-        # STREAM: collate -> dispatch as batches arrive, so host collation
-        # of batch/chunk i+1 overlaps device compute and upload of chunk i
-        # (collating the whole request first serializes them — measured
-        # 1,025 vs 661 ms/batch at B=256)
-        for batch in loader:
-            keeps.append(np.asarray(batch.graph_mask) > 0.5)
-            if chunk_target is None:
-                batch_bytes = sum(x.nbytes for x in jax.tree.leaves(batch))
-                chunk_target = self._pick_chunk(len(loader), batch_bytes)
-            buf.append(batch)
-            if len(buf) == chunk_target:
-                flush()
-        flush()
-        dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
-               else pending[0])
-        flat = np.asarray(dev)                      # ONE host transfer
-        bs = self.batch_size
-        outs: List[np.ndarray] = [flat[i * bs: i * bs + bs][keep]
-                                  for i, keep in enumerate(keeps)]
-        return np.concatenate(outs, axis=0)
+        def many(batches):
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            return self._forward_chunk(self.params, stacked)
+
+        pending, keeps = _stream_dispatch(loader, self._pick_chunk,
+                                          one, many)
+        return _assemble(pending, keeps, self.batch_size)
 
     def export(self, path: str, example: Sequence[GraphSample],
                platforms: Sequence[str] | None = None) -> None:
@@ -248,7 +267,9 @@ class Predictor:
         reference never serializes its model at all — SURVEY.md §5).
 
         ``example`` fixes the padding buckets (and must cover the serving
-        shape envelope — collation of larger crystals asserts loudly).
+        shape envelope — collation of larger crystals raises ValueError).
+        Exporting a mesh-sharded predictor works: the artifact is retraced
+        single-device from host copies of the params.
         ``platforms`` optionally cross-exports (e.g. ``("cpu", "tpu")``);
         the default exports for the current backend. Validated on the real
         TPU with the Pallas fused-attention forward (the Mosaic
@@ -262,8 +283,16 @@ class Predictor:
                              numpy=True)
         batch = next(iter(loader))
         leaves, treedef = jax.tree.flatten(batch)
-        params = self.params
-        fwd = self._forward
+        # a mesh-sharded predictor's params are committed to mesh devices
+        # and its jitted forwards carry in_shardings — export retraces the
+        # RAW forward on host copies so the artifact is a plain
+        # single-device function regardless of the serving mesh
+        # (fetch via np, re-commit via jnp: leaving raw numpy leaves in the
+        # closure breaks tracing — numpy fancy-indexing by a tracer)
+        params = (jax.tree.map(lambda x: jax.numpy.asarray(np.asarray(x)),
+                               self.params)
+                  if self.mesh is not None else self.params)
+        fwd = self._forward_fn
 
         # flat-leaf calling convention: custom-pytree serialization is not
         # needed at load time, only the leaf order (re-derived by flattening
@@ -280,7 +309,7 @@ class Predictor:
         # also export the scan-of-CHUNK forward so exported serving gets the
         # same dispatch amortization as the live predictor (one dispatch per
         # 8 batches for small-batch fleets)
-        fwd_chunk = self._forward_chunk
+        fwd_chunk = self._forward_chunk_fn
 
         def flat_chunk_fn(*ls):
             return fwd_chunk(params, jax.tree.unflatten(treedef, ls))
@@ -330,11 +359,28 @@ class ExportedPredictor:
             with open(chunk_path, "rb") as f:
                 self._call_chunk = jax.jit(jexport.deserialize(f.read()).call)
 
+    def _leaves(self, batch):
+        leaves = jax.tree.leaves(batch)
+        if len(leaves) != self.meta["n_leaves"]:
+            raise ValueError(
+                f"collated batch has {len(leaves)} leaves, artifact expects "
+                f"{self.meta['n_leaves']} — task/featurization mismatch")
+        return leaves
+
+    def _pick_chunk(self, remaining: int, batch_bytes: int) -> int:
+        """Only two exported functions exist: the scan-of-``chunk`` and the
+        single batch — so groups are ``chunk`` or 1 (the live Predictor's
+        intermediate power-of-two sizes have no exported counterpart)."""
+        if (self._call_chunk is not None and remaining >= self.chunk
+                and self.chunk * batch_bytes <= Predictor._CHUNK_BYTES):
+            return self.chunk
+        return 1
+
     def predict(self, samples: Sequence[GraphSample]) -> np.ndarray:
-        """DOS spectra [N, bins]; same streamed dispatch + fetch-once shape
-        as Predictor.predict. Full groups of ``chunk`` batches run through
-        the exported scan function (one dispatch per group) when under the
-        byte budget; the remainder dispatches per batch."""
+        """DOS spectra [N, bins]; same streamed dispatch + fetch-once
+        semantics as Predictor.predict (shared _stream_dispatch/_assemble).
+        Full under-byte-budget groups of ``chunk`` batches run through the
+        exported scan function; everything else dispatches per batch."""
         samples = list(samples)
         if not samples:
             raise ValueError("empty request: no samples to predict")
@@ -342,41 +388,15 @@ class ExportedPredictor:
                              atoms_per_graph=self.meta["atoms_per_graph"],
                              edges_per_graph=self.meta["edges_per_graph"],
                              numpy=True)
-        n_leaves = self.meta["n_leaves"]
-        pending = []
-        keeps = []
-        buf: List = []
-        use_chunk = False
 
-        def flush(final: bool):
-            if use_chunk and (len(buf) == self.chunk):
-                stacked = [np.stack(ls) for ls in zip(*buf)]
-                pending.append(self._call_chunk(*stacked))
-                buf.clear()
-            elif final:
-                for leaves in buf:
-                    dev_leaves = [jax.numpy.asarray(l) for l in leaves]
-                    pending.append(self._call(*dev_leaves))
-                buf.clear()
+        def one(batch):
+            return self._call(*[jax.numpy.asarray(l)
+                                for l in self._leaves(batch)])
 
-        for batch in loader:
-            leaves = jax.tree.leaves(batch)
-            assert len(leaves) == n_leaves, (
-                f"collated batch has {len(leaves)} leaves, artifact expects "
-                f"{n_leaves} — task/featurization mismatch")
-            if not keeps:  # first batch fixes the chunking decision
-                batch_bytes = sum(l.nbytes for l in leaves)
-                use_chunk = (self._call_chunk is not None
-                             and self.chunk * batch_bytes
-                             <= Predictor._CHUNK_BYTES)
-            keeps.append(np.asarray(batch.graph_mask) > 0.5)
-            buf.append(leaves)
-            flush(final=not use_chunk)
-        flush(final=True)
-        dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
-               else pending[0])
-        flat = np.asarray(dev)
-        bs = self.batch_size
-        outs = [flat[i * bs: i * bs + bs][keep]
-                for i, keep in enumerate(keeps)]
-        return np.concatenate(outs, axis=0)
+        def many(batches):
+            cols = zip(*[self._leaves(b) for b in batches])
+            return self._call_chunk(*[np.stack(c) for c in cols])
+
+        pending, keeps = _stream_dispatch(loader, self._pick_chunk,
+                                          one, many)
+        return _assemble(pending, keeps, self.batch_size)

@@ -70,8 +70,17 @@ def make_server(predictor, host: str = "127.0.0.1",
             try:
                 with device_lock:
                     dos = predictor.predict(samples)
-            except Exception as e:  # shape-envelope violations etc.
+            except ValueError as e:
+                # client-side input errors (empty request, shape-envelope
+                # or featurization mismatch — the serving path raises these
+                # as ValueError with actionable messages)
                 self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:
+                # anything else is a SERVER failure (compile error, backend
+                # disconnect, OOM): 5xx so clients/load balancers retry and
+                # monitoring sees it, never a silent 4xx
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             buf = io.BytesIO()
             np.savez_compressed(

@@ -218,7 +218,7 @@ class TestSplitsAndLoader:
 
     def test_collate_rejects_undersized_pins(self):
         samples = synthetic_edos_samples(2, seed=0)
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="shape envelope"):
             collate(samples, atoms_per_graph=1)
 
 

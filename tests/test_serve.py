@@ -188,6 +188,45 @@ class TestExportedServing:
         np.testing.assert_allclose(ep.predict(samples), ref,
                                    rtol=1e-5, atol=1e-6)
 
+    def test_export_from_mesh_predictor(self, tmp_path):
+        """Exporting a mesh-sharded predictor must produce a plain
+        single-device artifact (params pulled to host, raw forward
+        retraced) whose predictions match."""
+        import jax
+
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.parallel.mesh import make_mesh
+        from dostransformer_tpu.serve import ExportedPredictor
+
+        samples = synthetic_phdos_samples(12, seed=17)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(samples, batch_size=8)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pm = Predictor(model, params, batch_size=8,
+                       mesh=make_mesh(axes=("data",)))
+        ref = pm.predict(samples)
+        art = tmp_path / "mesh_artifact"
+        pm.export(str(art), samples)
+        ep = ExportedPredictor(str(art))
+        np.testing.assert_allclose(ep.predict(samples), ref,
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_cli_flag_conflicts_error(self, tmp_path):
+        """--from_exported with --export or --data_parallel must error
+        loudly instead of silently ignoring the flags."""
+        import pytest
+
+        from dostransformer_tpu.cli import main_predict
+
+        base = ["--from_exported", "whatever", "--input", "in.npz",
+                "--output", "out.npz"]
+        with pytest.raises(SystemExit):
+            main_predict.main(base + ["--export", "dir"])
+        with pytest.raises(SystemExit):
+            main_predict.main(base + ["--data_parallel"])
+
     def test_cli_export_and_serve(self, tmp_path):
         """main_predict --export writes an artifact; --from_exported serves
         it with predictions equal to checkpoint serving."""
@@ -281,6 +320,54 @@ class TestHTTPServer:
         finally:
             server.shutdown()
             t.join(timeout=10)
+
+    def test_server_error_statuses(self, tmp_path):
+        """Client input errors (ValueError from the serving path) map to
+        400; internal failures map to 500 so clients retry and monitoring
+        sees them."""
+        import threading
+
+        from dostransformer_tpu.data.io import save_samples
+        from dostransformer_tpu.serve_http import make_server
+
+        class Boom:
+            batch_size = 4
+
+            def predict(self, samples):
+                raise RuntimeError("backend disconnected")
+
+        server = make_server(Boom(), port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = tmp_path / "req.npz"
+            save_samples(str(req), synthetic_phdos_samples(2, seed=17))
+            status, data = self._post_npz(port, "/predict", req.read_bytes())
+            assert status == 500 and b"backend disconnected" in data
+
+            class Picky(Boom):
+                def predict(self, samples):
+                    raise ValueError("request exceeds the shape envelope")
+
+            # swap handler target is fixed at closure time; spin a second
+            # server for the 400 case
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+
+        server2 = make_server(Picky(), port=0)
+        port2 = server2.server_address[1]
+        t2 = threading.Thread(target=server2.serve_forever, daemon=True)
+        t2.start()
+        try:
+            req = tmp_path / "req.npz"
+            status, data = self._post_npz(port2, "/predict",
+                                          req.read_bytes())
+            assert status == 400 and b"shape envelope" in data
+        finally:
+            server2.shutdown()
+            t2.join(timeout=10)
 
     def test_cli_builds_server_from_artifact(self, tmp_path):
         """main_serve --from_exported builds a working endpoint around an
