@@ -18,7 +18,14 @@ train     beta-weighted RMSE loss, metrics, jit/pjit train+eval loops,
           early stopping, orbax checkpointing, JSONL logging.
 parallel  jax.sharding.Mesh construction and batch-axis NamedShardings (DP over
           ICI), multi-host init helpers.
-cli       command-line drivers mirroring the reference's main_phDOS / main_eDOS.
+cli       command-line drivers mirroring the reference's main_phDOS / main_eDOS,
+          plus inference (main_predict) and HTTP serving (main_serve).
+
+Top-level modules
+-----------------
+serve       batched/bucketed inference (Predictor), AOT StableHLO export
+            (Predictor.export / ExportedPredictor).
+serve_http  dependency-free HTTP model server over either predictor.
 """
 
 __version__ = "0.1.0"
