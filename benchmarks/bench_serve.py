@@ -41,13 +41,14 @@ LARGE_BATCHES = 36    # batches in the large request
 REPS = 7
 
 
-def measure(batch_size: int, lo: int = 4, hi: int = 24) -> dict:
-    import numpy as np
+def measure(batch_size: int, lo: int = 4, hi: int = 24,
+            exported: bool = False) -> dict:
+    import tempfile
 
     from dostransformer_tpu.data.datasets import GraphLoader
     from dostransformer_tpu.data.synthetic import synthetic_edos_samples
     from dostransformer_tpu.models import DOSTransformerEDOS
-    from dostransformer_tpu.serve import Predictor
+    from dostransformer_tpu.serve import ExportedPredictor, Predictor
 
     import jax
 
@@ -65,6 +66,10 @@ def measure(batch_size: int, lo: int = 4, hi: int = 24) -> dict:
     b0 = next(iter(loader))
     params = model.init(jax.random.PRNGKey(0), b0, deterministic=True)["params"]
     pred = Predictor(model, params, batch_size=batch_size, clamp=True)
+    if exported:
+        art = tempfile.mkdtemp(prefix="dostpu_bench_artifact_")
+        pred.export(art, small)
+        pred = ExportedPredictor(art)
 
     # warmup (compile both request sizes' final-batch shapes; identical here)
     pred.predict(small)
@@ -84,7 +89,7 @@ def measure(batch_size: int, lo: int = 4, hi: int = 24) -> dict:
     t_large = timed(large)
     marginal_per_batch = (t_large - t_small) / (LARGE_BATCHES - SMALL_BATCHES)
     return {
-        "bench": "serve_predict",
+        "bench": "serve_predict_exported" if exported else "serve_predict",
         "batch": batch_size,
         "atoms": [lo, hi],
         "samples_large": len(large),
@@ -149,12 +154,15 @@ def main():
     ap.add_argument("--mixed", action="store_true",
                     help="measure bucketed vs unbucketed on a size-mixed "
                          "request instead of the batch-size sweep")
+    ap.add_argument("--exported", action="store_true",
+                    help="serve through a jax.export AOT artifact instead "
+                         "of the live predictor (parity check)")
     args = ap.parse_args()
     if args.mixed:
         print(json.dumps(measure_mixed()))
         return
     for b in args.batches:
-        print(json.dumps(measure(b)))
+        print(json.dumps(measure(b, exported=args.exported)))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,11 @@ def build_server(argv=None):
     p.add_argument("--transformer", type=int, default=2)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each inference batch over all visible "
+                        "devices (params replicated — the pod serving "
+                        "layout); --batch_size must divide by the device "
+                        "count; checkpoint serving only")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
@@ -48,6 +53,9 @@ def build_server(argv=None):
     from dostransformer_tpu.serve_http import make_server
 
     if args.from_exported:
+        if args.data_parallel:
+            p.error("--data_parallel serves from a checkpoint; exported "
+                    "artifacts are single-device functions")
         predictor = ExportedPredictor(args.from_exported)
     else:
         if not (args.task and args.checkpoint_dir and args.example):
@@ -55,12 +63,17 @@ def build_server(argv=None):
                     "unless --from_exported is given")
         from dostransformer_tpu.data.io import load_samples
 
+        mesh = None
+        if args.data_parallel:
+            from dostransformer_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(axes=("data",))
         example = load_samples(args.example)[0]
         predictor = Predictor.from_checkpoint(
             args.checkpoint_dir, task=args.task, example=example,
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size, mesh=mesh)
     return make_server(predictor, host=args.host, port=args.port)
 
 
