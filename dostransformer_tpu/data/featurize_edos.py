@@ -169,9 +169,16 @@ def build_sample(
     )
 
 
-def structure_from_cif(cif: str):
+def structure_from_cif(cif):
     """CIF string -> (numbers, cart_coords, lattice); needs pymatgen
-    (offline-only, exactly like the reference's featurizer)."""
+    (offline-only, exactly like the reference's featurizer).
+
+    A pre-parsed ``{"numbers", "cart_coords", "lattice"}`` dict passes
+    through pymatgen-free (the in-env migration format — converters that
+    already parsed the structure store records this way)."""
+    if isinstance(cif, dict):
+        return (np.asarray(cif["numbers"]), np.asarray(cif["cart_coords"]),
+                np.asarray(cif["lattice"]))
     try:
         from pymatgen.core.structure import Structure
     except ImportError as e:  # pragma: no cover
@@ -183,33 +190,65 @@ def structure_from_cif(cif: str):
             np.array(s.lattice.matrix))
 
 
+# worker-process state for the featurizer pool (set once per worker by the
+# initializer; also used by the serial path so both run the SAME code)
+_POOL_STATE: dict = {}
+
+
+def _edos_pool_init(elem_feats, radius):
+    _POOL_STATE["elem_feats"] = elem_feats
+    _POOL_STATE["radius"] = radius
+
+
+def _edos_pool_task(task):
+    i, mp_id, rec, dos_rec = task
+    try:
+        numbers, coords, lattice = structure_from_cif(rec["cif"])
+        return build_sample(
+            _POOL_STATE["elem_feats"], numbers, coords, lattice,
+            y=np.asarray(dos_rec["densities_total_1"]),
+            y_ft=np.asarray(dos_rec["densities_total_1_ft"]),
+            glob=[rec["energy_per_atom"], rec["formation_energy_per_atom"]],
+            crystal_system=rec["spacegroup"]["crystal_system"],
+            band_gap=rec.get("band_gap", 0.0),
+            efermi=dos_rec.get("efermi", 0.0),
+            mp_id=mp_id, sample_id=i, radius=_POOL_STATE["radius"])
+    except Exception:
+        return None
+
+
 def load_dataset(
     mp_data: dict,
     dos_data: dict,
     original_dataset_mp_id: Sequence[str],
     path_elem_embs: Optional[str] = None,
     radius: float = 8.0,
+    workers: int = 0,
 ) -> List[GraphSample]:
-    """mp.pkl/dos.pkl-shaped dicts -> GraphSamples (mat2graph.py:69-117)."""
+    """mp.pkl/dos.pkl-shaped dicts -> GraphSamples (mat2graph.py:69-117).
+
+    ``workers > 1`` featurizes crystals on a spawn-context process pool
+    (SURVEY.md §3.2: featurization is the offline hot spot and is
+    embarrassingly parallel) — sample_ids, ordering, and error accounting
+    are identical to the serial path, which runs the same task function."""
     elem_feats = load_elem_feats(path_elem_embs)
     keep = set(original_dataset_mp_id)
-    out, errors = [], 0
-    for i, (mp_id, rec) in enumerate(mp_data.items()):
-        if mp_id not in keep:
-            continue
-        try:
-            numbers, coords, lattice = structure_from_cif(rec["cif"])
-            out.append(build_sample(
-                elem_feats, numbers, coords, lattice,
-                y=np.asarray(dos_data[mp_id]["densities_total_1"]),
-                y_ft=np.asarray(dos_data[mp_id]["densities_total_1_ft"]),
-                glob=[rec["energy_per_atom"], rec["formation_energy_per_atom"]],
-                crystal_system=rec["spacegroup"]["crystal_system"],
-                band_gap=rec.get("band_gap", 0.0),
-                efermi=dos_data[mp_id].get("efermi", 0.0),
-                mp_id=mp_id, sample_id=i, radius=radius))
-        except Exception:
-            errors += 1
+    # sample_id = position in mp_data INCLUDING records outside the keep
+    # set (mat2graph.py enumerates the full dict)
+    tasks = [(i, mp_id, rec, dos_data.get(mp_id, {}))
+             for i, (mp_id, rec) in enumerate(mp_data.items())
+             if mp_id in keep]
+    if workers and workers > 1:
+        from dostransformer_tpu.data.pool import host_pool
+
+        with host_pool(workers, initializer=_edos_pool_init,
+                       initargs=(elem_feats, radius)) as pool:
+            results = pool.map(_edos_pool_task, tasks, chunksize=16)
+    else:
+        _edos_pool_init(elem_feats, radius)
+        results = [_edos_pool_task(t) for t in tasks]
+    out = [s for s in results if s is not None]
+    errors = len(results) - len(out)
     print(f"Converted {len(out)} | errors {errors}")
     return out
 
@@ -228,13 +267,16 @@ def main(argv=None):
                    help="path to a matscholar-embedding.json (default: the "
                         "bundled matscholar table)")
     p.add_argument("--radius", type=float, default=8.0)
+    p.add_argument("--workers", type=int, default=0,
+                   help="featurizer process-pool size (0/1 = serial)")
     args = p.parse_args(argv)
     with open(args.mp_pkl, "rb") as f:
         mp_data = pickle.load(f)
     with open(args.dos_pkl, "rb") as f:
         dos_data = pickle.load(f)
     samples = load_dataset(mp_data, dos_data, list(mp_data.keys()),
-                           args.elem_embs, radius=args.radius)
+                           args.elem_embs, radius=args.radius,
+                           workers=args.workers)
     save_samples(args.out, samples)
     print(f"featurized {len(samples)} crystals -> {args.out}")
 

@@ -77,30 +77,60 @@ def _atoms_from_dict(d: dict):
     return numbers, positions, cell, pbc
 
 
+# worker-process state for the featurizer pool (set once per worker by the
+# initializer; the serial path runs the same task function)
+_POOL_STATE: dict = {}
+
+
+def _phdos_pool_init(r_max):
+    _POOL_STATE["r_max"] = r_max
+
+
+def _phdos_pool_task(task):
+    i, structure_str, phdos_str, crystal_system, mp_id = task
+    numbers, positions, cell, pbc = _atoms_from_dict(
+        ast.literal_eval(structure_str))
+    phdos = np.asarray(ast.literal_eval(phdos_str), np.float64)
+    sample = build_sample(
+        numbers, positions, cell, phdos, crystal_system=crystal_system,
+        mp_id=mp_id, sample_id=i, r_max=_POOL_STATE["r_max"], pbc=pbc)
+    return sample, sorted({SYMBOLS[z - 1] for z in numbers})
+
+
 def featurize_csv(
     path: str,
     r_max: float = 4.0,
+    workers: int = 0,
 ) -> Tuple[List[GraphSample], List[List[str]]]:
     """data.csv -> (samples, species_per_sample).
 
     The CSV carries `structure` as the repr of an ASE Atoms dict, plus
     `phfreq`, `phdos`, `pdos`, `crystal_system`, `mp_id` columns (reference
     utils.py:152-173). species_per_sample feeds the element-balanced splitter.
+
+    ``workers > 1`` featurizes crystals on a spawn-context process pool
+    (SURVEY.md §3.2: featurization is offline and embarrassingly parallel);
+    ordering and sample_ids match the serial path, which runs the same
+    task function. Malformed rows raise either way (no silent drops — the
+    reference's build loop has no error handling, main_phDOS.py:18-22).
     """
     import pandas as pd
 
     df = pd.read_csv(path)
-    samples: List[GraphSample] = []
-    species: List[List[str]] = []
-    for i, row in df.iterrows():
-        d = ast.literal_eval(row["structure"])
-        numbers, positions, cell, pbc = _atoms_from_dict(d)
-        phdos = np.asarray(ast.literal_eval(row["phdos"]), np.float64)
-        samples.append(build_sample(
-            numbers, positions, cell, phdos,
-            crystal_system=str(row.get("crystal_system", "")),
-            mp_id=str(row.get("mp_id", i)), sample_id=int(i), r_max=r_max))
-        species.append(sorted({SYMBOLS[z - 1] for z in numbers}))
+    tasks = [(int(i), str(row["structure"]), str(row["phdos"]),
+              str(row.get("crystal_system", "")), str(row.get("mp_id", i)))
+             for i, row in df.iterrows()]
+    if workers and workers > 1:
+        from dostransformer_tpu.data.pool import host_pool
+
+        with host_pool(workers, initializer=_phdos_pool_init,
+                       initargs=(r_max,)) as pool:
+            results = pool.map(_phdos_pool_task, tasks, chunksize=16)
+    else:
+        _phdos_pool_init(r_max)
+        results = [_phdos_pool_task(t) for t in tasks]
+    samples = [s for s, _ in results]
+    species = [sp for _, sp in results]
     return samples, species
 
 
@@ -113,8 +143,11 @@ def main(argv=None):
     p.add_argument("csv")
     p.add_argument("out", help="output .npz path")
     p.add_argument("--r_max", type=float, default=4.0)
+    p.add_argument("--workers", type=int, default=0,
+                   help="featurizer process-pool size (0/1 = serial)")
     args = p.parse_args(argv)
-    samples, _ = featurize_csv(args.csv, r_max=args.r_max)
+    samples, _ = featurize_csv(args.csv, r_max=args.r_max,
+                               workers=args.workers)
     save_samples(args.out, samples)
     print(f"featurized {len(samples)} crystals -> {args.out}")
 

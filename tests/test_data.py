@@ -395,3 +395,76 @@ class TestElementBalancedSplitDifferential:
         got = element_balanced_split(rows, 0.1, 0.1, seed=12)
         for w, g in zip(want, got):
             assert list(w) == list(g)
+
+
+class TestFeaturizerPool:
+    """Serial == parallel for the featurizer process pools (data/pool.py).
+
+    Records carry pre-parsed structure dicts (the pymatgen-free path of
+    structure_from_cif), so the whole load_dataset pipeline runs in-env."""
+
+    @staticmethod
+    def _make_edos_records(n=10, seed=0):
+        rng = np.random.RandomState(seed)
+        systems = ["cubic", "hexagonal", "tetragonal", "trigonal",
+                   "orthorhombic", "monoclinic", "triclinic"]
+        mp_data, dos_data = {}, {}
+        for i in range(n):
+            n_atoms = int(rng.randint(2, 6))
+            struct = {"numbers": rng.randint(1, 80, size=n_atoms).tolist(),
+                      "cart_coords": (rng.rand(n_atoms, 3) * 3.0).tolist(),
+                      "lattice": (np.eye(3) * rng.uniform(3.0, 5.0)).tolist()}
+            mp_id = f"mp-{i}"
+            mp_data[mp_id] = {
+                "cif": struct,
+                "energy_per_atom": float(rng.randn()),
+                "formation_energy_per_atom": float(rng.randn()),
+                "spacegroup": {"crystal_system": systems[i % 7]},
+                "band_gap": float(abs(rng.randn())),
+            }
+            dos_data[mp_id] = {
+                "densities_total_1": np.abs(rng.randn(201)) + 1e-3,
+                "densities_total_1_ft": np.abs(rng.randn(201)) + 1e-3,
+                "efermi": float(rng.randn()),
+            }
+        return mp_data, dos_data
+
+    def _assert_samples_equal(self, a, b):
+        import dataclasses
+
+        assert len(a) == len(b)
+        for sa, sb in zip(a, b):
+            for f in dataclasses.fields(sa):
+                va, vb = getattr(sa, f.name), getattr(sb, f.name)
+                if isinstance(va, np.ndarray):
+                    np.testing.assert_array_equal(va, vb, err_msg=f.name)
+                else:
+                    assert va == vb, f.name
+
+    def test_edos_pool_matches_serial(self, capsys):
+        from dostransformer_tpu.data.featurize_edos import load_dataset
+
+        mp_data, dos_data = self._make_edos_records(n=10)
+        # a record outside the keep set (sample_id enumeration skips it but
+        # keeps the full-dict positions, mat2graph.py:69-117) and a broken
+        # record (counted as an error, not raised)
+        keep = [k for k in mp_data if k != "mp-3"]
+        del dos_data["mp-5"]["densities_total_1"]
+        serial = load_dataset(mp_data, dos_data, keep, workers=0)
+        parallel = load_dataset(mp_data, dos_data, keep, workers=2)
+        out = capsys.readouterr().out
+        assert out.count("Converted 8 | errors 1") == 2
+        assert [s.sample_id for s in serial] == [
+            i for i in range(10) if i not in (3, 5)]
+        self._assert_samples_equal(serial, parallel)
+
+    def test_phdos_pool_matches_serial(self, tmp_path):
+        from dostransformer_tpu.data.featurize_phdos import featurize_csv
+        from tests.test_featurize_csv import _make_csv
+
+        csv = tmp_path / "data.csv"
+        _make_csv(str(csv), n=10)
+        s_samples, s_species = featurize_csv(str(csv), r_max=4.0, workers=0)
+        p_samples, p_species = featurize_csv(str(csv), r_max=4.0, workers=2)
+        assert s_species == p_species
+        self._assert_samples_equal(s_samples, p_samples)
