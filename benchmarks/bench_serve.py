@@ -148,18 +148,96 @@ def measure_mixed(batch_size: int = 8) -> dict:
     }
 
 
+def measure_coalesce(batch_size: int = 8, clients: int = 16,
+                     requests_per_client: int = 8) -> dict:
+    """Concurrent small requests: per-request device dispatch (the HTTP
+    server's lock path) vs CoalescingBatcher micro-batching. Each of
+    ``clients`` threads fires ``requests_per_client`` sequential
+    ``batch_size``-sample requests; identical bucket shapes throughout so
+    both modes run one compiled executable."""
+    import threading
+    import time as _time
+
+    import jax
+
+    from dostransformer_tpu.data.datasets import GraphLoader
+    from dostransformer_tpu.data.synthetic import synthetic_edos_samples
+    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.serve import Predictor
+    from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+    req = synthetic_edos_samples(batch_size, seed=0, min_atoms=4,
+                                 max_atoms=24)
+    on_tpu = jax.default_backend() == "tpu"
+    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
+                               hidden=HIDDEN, use_pallas=on_tpu)
+    b0 = next(iter(GraphLoader(req, batch_size=batch_size)))
+    params = model.init(jax.random.PRNGKey(0), b0,
+                        deterministic=True)["params"]
+    pred = Predictor(model, params, batch_size=batch_size, clamp=True)
+    # warm every chunk variant a coalescing window can produce (scan-of-S
+    # chunk functions compile per S — see Predictor._CHUNKS)
+    for k in (1, 2, 3, 4, 8, clients):
+        pred.predict(req * k)
+
+    def drive(call):
+        def client():
+            for _ in range(requests_per_client):
+                out = call(req)
+                assert out.shape == (batch_size, 201)
+
+        threads = [threading.Thread(target=client) for _ in range(clients)]
+        t0 = _time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return _time.perf_counter() - t0
+
+    lock = threading.Lock()
+
+    def locked(samples):
+        with lock:
+            return pred.predict(samples)
+
+    t_lock = min(drive(locked) for _ in range(3))
+    batcher = CoalescingBatcher(pred, max_delay_ms=2.0)
+    try:
+        t_coal = min(drive(batcher.predict) for _ in range(3))
+    finally:
+        batcher.close()
+    n = clients * requests_per_client * batch_size
+    return {
+        "bench": "serve_coalesce",
+        "batch": batch_size,
+        "clients": clients,
+        "requests": clients * requests_per_client,
+        "wall_ms_locked": round(1e3 * t_lock, 1),
+        "wall_ms_coalesced": round(1e3 * t_coal, 1),
+        "samples_per_sec_locked": round(n / t_lock, 1),
+        "samples_per_sec_coalesced": round(n / t_coal, 1),
+        "speedup": round(t_lock / t_coal, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="*", default=[8, 64, 256])
     ap.add_argument("--mixed", action="store_true",
                     help="measure bucketed vs unbucketed on a size-mixed "
                          "request instead of the batch-size sweep")
+    ap.add_argument("--coalesce", action="store_true",
+                    help="measure concurrent-client micro-batching "
+                         "(CoalescingBatcher) vs the per-request lock path")
     ap.add_argument("--exported", action="store_true",
                     help="serve through a jax.export AOT artifact instead "
                          "of the live predictor (parity check)")
     args = ap.parse_args()
     if args.mixed:
         print(json.dumps(measure_mixed()))
+        return
+    if args.coalesce:
+        print(json.dumps(measure_coalesce()))
         return
     for b in args.batches:
         print(json.dumps(measure(b, exported=args.exported)))

@@ -26,6 +26,8 @@ Top-level modules
 serve       batched/bucketed inference (Predictor), AOT StableHLO export
             (Predictor.export / ExportedPredictor).
 serve_http  dependency-free HTTP model server over either predictor.
+serve_batch cross-request micro-batching (CoalescingBatcher): concurrent
+            predicts coalesce into one device dispatch.
 """
 
 __version__ = "0.1.0"

@@ -47,6 +47,10 @@ def build_server(argv=None):
                         "count; checkpoint serving only")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--coalesce_ms", type=float, default=0.0,
+                   help="micro-batch concurrent requests into one device "
+                        "dispatch, waiting up to this many ms for "
+                        "stragglers (0 = off)")
     args = p.parse_args(argv)
 
     from dostransformer_tpu.serve import ExportedPredictor, Predictor
@@ -74,7 +78,8 @@ def build_server(argv=None):
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
             batch_size=args.batch_size, mesh=mesh)
-    return make_server(predictor, host=args.host, port=args.port)
+    return make_server(predictor, host=args.host, port=args.port,
+                       coalesce_ms=args.coalesce_ms)
 
 
 def main(argv=None):

@@ -1,0 +1,122 @@
+"""Cross-request micro-batching for the serving path.
+
+The reference has no serving story (SURVEY.md §5); this extends the
+framework's own. Concurrent ``predict`` calls coalesce into ONE device
+dispatch: a single worker thread drains the request queue, waits up to
+``max_delay_ms`` for stragglers, concatenates the sample lists, runs the
+wrapped predictor once, and splits the [N, bins] result back per request.
+
+Why this is the TPU-idiomatic shape: the device executes one request at a
+time anyway (serve_http serializes on a lock), and per-dispatch overhead is
+fixed — so K concurrent 8-sample requests cost K dispatches serially, while
+one coalesced 8K-sample request rides the predictor's existing byte-budgeted
+scan chunks and single fetch (serve.py _stream_dispatch). Larger effective
+batches also pad fewer dummy rows per short final batch.
+
+Failure isolation: the predictor raises ValueError on client-side input
+errors (empty request, shape-envelope overflow in collate). A coalesced
+dispatch that fails is retried per-request so one client's bad input cannot
+fail its neighbors — the slow path only runs on errors.
+
+    batcher = CoalescingBatcher(predictor, max_delay_ms=2.0)
+    dos = batcher.predict(samples)   # thread-safe, blocks for the result
+    batcher.close()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Sequence
+
+import numpy as np
+
+
+class CoalescingBatcher:
+    """Thread-safe predict() that coalesces concurrent requests.
+
+    Wraps any object with ``predict(samples) -> [N, bins]`` in input order
+    (serve.Predictor, serve.ExportedPredictor). ``max_delay_ms`` bounds the
+    extra latency a lone request pays waiting for company; ``max_samples``
+    caps one coalesced dispatch (a full window dispatches immediately).
+    """
+
+    def __init__(self, predictor, max_delay_ms: float = 2.0,
+                 max_samples: int = 4096):
+        self.predictor = predictor
+        self.max_delay_s = max_delay_ms / 1e3
+        self.max_samples = max_samples
+        self.batch_size = getattr(predictor, "batch_size", None)
+        self._q: queue.Queue = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="dostpu-batcher")
+        self._worker.start()
+
+    def predict(self, samples: Sequence) -> np.ndarray:
+        """Enqueue one request and block for its rows of the coalesced
+        result. Raises whatever the predictor raised for THIS request."""
+        samples = list(samples)
+        if not samples:
+            # same message/path as Predictor.predict — never coalesce an
+            # empty list into a neighbor's batch
+            raise ValueError("empty request: no samples to predict")
+        fut: Future = Future()
+        self._q.put((samples, fut))
+        return fut.result()
+
+    def close(self) -> None:
+        """Drain and stop the worker (idempotent)."""
+        if self._worker.is_alive():
+            self._q.put(None)
+            self._worker.join()
+
+    # -- worker ------------------------------------------------------------
+
+    def _collect(self, first):
+        """First request + everything arriving within the delay window."""
+        batch = [first]
+        total = len(first[0])
+        end = time.monotonic() + self.max_delay_s
+        while total < self.max_samples:
+            remaining = end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:          # close() mid-window: stop collecting,
+                self._q.put(None)     # re-post the sentinel for _run
+                break
+            batch.append(item)
+            total += len(item[0])
+        return batch
+
+    def _dispatch(self, batch) -> None:
+        all_samples = [s for samples, _ in batch for s in samples]
+        try:
+            out = self.predictor.predict(all_samples)
+        except Exception as e:
+            if len(batch) == 1:
+                batch[0][1].set_exception(e)
+                return
+            # isolate the offender: retry each request on its own
+            for samples, fut in batch:
+                try:
+                    fut.set_result(self.predictor.predict(samples))
+                except Exception as ee:
+                    fut.set_exception(ee)
+            return
+        row = 0
+        for samples, fut in batch:
+            fut.set_result(out[row: row + len(samples)])
+            row += len(samples)
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            self._dispatch(self._collect(item))

@@ -12,8 +12,11 @@ clients reuse ``save_samples`` to build request bodies):
 
 Device access is serialized with a lock (one TPU executor); request decode
 and response encode run concurrently on the ThreadingHTTPServer's threads.
+``coalesce_ms > 0`` replaces the lock with a CoalescingBatcher
+(serve_batch.py): concurrent requests merge into one device dispatch, paying
+at most that much extra latency for much higher throughput under load.
 
-    server = make_server(predictor, port=8000)
+    server = make_server(predictor, port=8000, coalesce_ms=2.0)
     server.serve_forever()
 """
 
@@ -29,11 +32,19 @@ import numpy as np
 from dostransformer_tpu.data.io import load_samples
 
 
-def make_server(predictor, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
+                coalesce_ms: float = 0.0) -> ThreadingHTTPServer:
     """HTTP server around a Predictor / ExportedPredictor. ``port=0`` binds
-    an ephemeral port (read it back from ``server.server_address``)."""
+    an ephemeral port (read it back from ``server.server_address``).
+    ``coalesce_ms > 0`` micro-batches concurrent requests into single
+    device dispatches (serve_batch.CoalescingBatcher); the batcher is
+    stopped by ``server.server_close()``."""
     device_lock = threading.Lock()
+    batcher = None
+    if coalesce_ms and coalesce_ms > 0:
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        batcher = CoalescingBatcher(predictor, max_delay_ms=coalesce_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; callers log themselves
@@ -68,8 +79,11 @@ def make_server(predictor, host: str = "127.0.0.1",
                 self._send_json(400, {"error": f"bad request body: {e}"})
                 return
             try:
-                with device_lock:
-                    dos = predictor.predict(samples)
+                if batcher is not None:
+                    dos = batcher.predict(samples)  # serializes internally
+                else:
+                    with device_lock:
+                        dos = predictor.predict(samples)
             except ValueError as e:
                 # client-side input errors (empty request, shape-envelope
                 # or featurization mismatch — the serving path raises these
@@ -89,4 +103,10 @@ def make_server(predictor, host: str = "127.0.0.1",
                 mp_id=np.asarray([s.mp_id for s in samples]))
             self._send(200, buf.getvalue(), "application/octet-stream")
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_close(self):
+            if batcher is not None:
+                batcher.close()
+            super().server_close()
+
+    return Server((host, port), Handler)

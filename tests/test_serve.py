@@ -407,3 +407,170 @@ class TestHTTPServer:
         finally:
             server.shutdown()
             t.join(timeout=10)
+
+
+class TestCoalescingBatcher:
+    """Cross-request micro-batching (serve_batch.CoalescingBatcher)."""
+
+    class _Fake:
+        """Records every coalesced call; 'predicts' each int sample as its
+        own value so per-request result slicing is checkable exactly."""
+
+        batch_size = 4
+
+        def __init__(self):
+            self.calls = []
+
+        def predict(self, samples):
+            if any(s == "bad" for s in samples):
+                raise ValueError("bad sample in request")
+            self.calls.append(list(samples))
+            return np.asarray(samples, np.float64)[:, None] * np.ones((1, 3))
+
+    def test_concurrent_requests_coalesce_and_split_correctly(self):
+        import threading
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        fake = self._Fake()
+        batcher = CoalescingBatcher(fake, max_delay_ms=1000.0)
+        results = {}
+
+        def worker(k):
+            results[k] = batcher.predict([k * 10 + j for j in range(k + 1)])
+
+        threads = [threading.Thread(target=worker, args=(k,))
+                   for k in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        batcher.close()
+        batcher.close()  # idempotent
+        for k in range(6):
+            want = np.asarray([k * 10 + j for j in range(k + 1)],
+                              np.float64)[:, None] * np.ones((1, 3))
+            np.testing.assert_array_equal(results[k], want)
+        # 6 requests arrived inside one 1 s window -> far fewer dispatches
+        assert 1 <= len(fake.calls) < 6
+        assert sum(len(c) for c in fake.calls) == sum(range(1, 7))
+
+    def test_error_isolation_retries_per_request(self):
+        import threading
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        fake = self._Fake()
+        batcher = CoalescingBatcher(fake, max_delay_ms=500.0)
+        results, errors = {}, {}
+
+        def worker(k, payload):
+            try:
+                results[k] = batcher.predict(payload)
+            except Exception as e:
+                errors[k] = e
+
+        threads = [
+            threading.Thread(target=worker, args=(0, [1, 2])),
+            threading.Thread(target=worker, args=(1, ["bad"])),
+            threading.Thread(target=worker, args=(2, [3])),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        batcher.close()
+        assert isinstance(errors[1], ValueError)
+        np.testing.assert_array_equal(results[0][:, 0], [1.0, 2.0])
+        np.testing.assert_array_equal(results[2][:, 0], [3.0])
+        assert 0 not in errors and 2 not in errors
+
+    def test_empty_request_raises_without_enqueue(self):
+        import pytest
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        fake = self._Fake()
+        batcher = CoalescingBatcher(fake, max_delay_ms=1.0)
+        with pytest.raises(ValueError, match="empty request"):
+            batcher.predict([])
+        batcher.close()
+        assert fake.calls == []
+
+    def test_max_samples_bounds_one_dispatch(self):
+        import threading
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        fake = self._Fake()
+        batcher = CoalescingBatcher(fake, max_delay_ms=1000.0, max_samples=4)
+        results = {}
+
+        def worker(k):
+            results[k] = batcher.predict([k * 10 + j for j in range(3)])
+
+        threads = [threading.Thread(target=worker, args=(k,))
+                   for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        batcher.close()
+        assert len(results) == 4
+        assert all(len(c) <= 6 for c in fake.calls)  # 3 + 3 crosses the cap
+        assert len(fake.calls) >= 2
+
+    def test_http_coalescing_matches_direct(self, tmp_path):
+        """make_server(coalesce_ms=...) serves concurrent POSTs through one
+        batcher; every client gets exactly its own rows back."""
+        import io
+        import threading
+
+        import jax
+
+        from dostransformer_tpu.data.datasets import GraphLoader
+        from dostransformer_tpu.data.io import save_samples
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.serve_http import make_server
+
+        all_samples = synthetic_phdos_samples(12, seed=31)
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        b0 = next(iter(GraphLoader(all_samples, batch_size=4)))
+        params = model.init(jax.random.PRNGKey(0), b0,
+                            deterministic=True)["params"]
+        pred = Predictor(model, params, batch_size=4)
+        ref = pred.predict(all_samples)
+        # warm the compile cache so coalesced batches don't time out
+        pred.predict(all_samples[:5])
+
+        server = make_server(pred, port=0, coalesce_ms=200.0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        chunks = [all_samples[0:3], all_samples[3:8], all_samples[8:12]]
+        statuses, outs = {}, {}
+
+        def client(k):
+            buf = io.BytesIO()
+            save_samples(buf, chunks[k])
+            statuses[k], data = TestHTTPServer._post_npz(
+                TestHTTPServer(), port, "/predict", buf.getvalue())
+            outs[k] = np.load(io.BytesIO(data))["dos"]
+
+        try:
+            cts = [threading.Thread(target=client, args=(k,))
+                   for k in range(3)]
+            for ct in cts:
+                ct.start()
+            for ct in cts:
+                ct.join(timeout=120)
+        finally:
+            server.shutdown()
+            server.server_close()
+            t.join(timeout=10)
+        lo = 0
+        for k, chunk in enumerate(chunks):
+            assert statuses[k] == 200
+            np.testing.assert_allclose(outs[k], ref[lo: lo + len(chunk)],
+                                       rtol=1e-4, atol=1e-5)
+            lo += len(chunk)
