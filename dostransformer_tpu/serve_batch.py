@@ -50,6 +50,7 @@ class CoalescingBatcher:
         self.max_samples = max_samples
         self.batch_size = getattr(predictor, "batch_size", None)
         self._q: queue.Queue = queue.Queue()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dostpu-batcher")
         self._worker.start()
@@ -62,12 +63,19 @@ class CoalescingBatcher:
             # same message/path as Predictor.predict — never coalesce an
             # empty list into a neighbor's batch
             raise ValueError("empty request: no samples to predict")
+        if self._closed:
+            # a request enqueued after close() would wait forever on a
+            # worker that already exited
+            raise RuntimeError("CoalescingBatcher is closed")
         fut: Future = Future()
         self._q.put((samples, fut))
         return fut.result()
 
     def close(self) -> None:
-        """Drain and stop the worker (idempotent)."""
+        """Drain pending requests and stop the worker (idempotent).
+        Requests enqueued before close() still resolve; predict() after
+        close() raises RuntimeError."""
+        self._closed = True
         if self._worker.is_alive():
             self._q.put(None)
             self._worker.join()

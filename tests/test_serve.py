@@ -574,3 +574,13 @@ class TestCoalescingBatcher:
             np.testing.assert_allclose(outs[k], ref[lo: lo + len(chunk)],
                                        rtol=1e-4, atol=1e-5)
             lo += len(chunk)
+
+    def test_predict_after_close_raises(self):
+        import pytest
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        batcher = CoalescingBatcher(self._Fake(), max_delay_ms=1.0)
+        batcher.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            batcher.predict([1])
