@@ -143,6 +143,13 @@ def run_training(
     bf16_data: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics."""
+    # SIGTERM (scheduler preemption) latches a flag from setup onward —
+    # a signal during the minutes-long first compile must not kill the run
+    # uncheckpointed; the loop saves at the next epoch boundary and exits
+    # cleanly (train/preemption.py)
+    from dostransformer_tpu.train.preemption import GracefulShutdown
+
+    stop = GracefulShutdown().install()
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
     if x64:
@@ -255,6 +262,7 @@ def run_training(
     t_start = time.perf_counter()
     n_steps = 0
     stopped_early = False
+    preempted = False
     epoch = start_epoch
     while epoch < cfg.epochs:
         # scan-compiled epochs: with the device-resident dataset a whole
@@ -302,6 +310,17 @@ def run_training(
                 tb.add_scalars(epoch + i + 1, {"train/loss": mean_loss})
         epoch += chunk
 
+        if stop.requested:
+            # preemption grace windows are short: skip the pending eval
+            # (resume re-runs it), save NOW, exit cleanly. The per-epoch
+            # shuffle keys derive from (seed, epoch), so the follow-up run
+            # reproduces an uninterrupted run exactly.
+            preempted = True
+            if ckpt is not None:
+                ckpt.save(epoch, state, tracker)
+                print(f"\n[preemption] checkpoint saved at epoch {epoch}")
+            break
+
         if epoch % cfg.eval_every == 0:
             vm = run_eval(valid_batches, valid_stacked)
             logger.log({"epoch": epoch, "valid": vm})
@@ -327,10 +346,11 @@ def run_training(
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # async saves must be durable before exit
+    stop.restore()
     elapsed = time.perf_counter() - t_start
     if profile_dir:
         jax.profiler.stop_trace()
-    if export_preds:
+    if export_preds and not preempted:  # preemption grace windows are short
         from dostransformer_tpu.train.artifacts import EvalArtifacts
 
         art = EvalArtifacts()
@@ -350,6 +370,7 @@ def run_training(
         "test": tracker.test_metrics,
         "samples_per_sec": sps,
         "stopped_early": stopped_early,
+        "preempted": preempted,
     }
     logger.log({"final": result})
     logger.close()

@@ -128,3 +128,42 @@ class TestCheckpointResume:
                                    r_full["best_valid_rmse"], rtol=1e-5)
         np.testing.assert_allclose(r_resumed["test"]["rmse"],
                                    r_full["test"]["rmse"], rtol=1e-5)
+
+
+class TestPreemption:
+    def test_sigterm_checkpoints_and_resumes(self, tmp_path):
+        """Graceful preemption (SURVEY.md §5 failure recovery): SIGTERM
+        mid-run saves a checkpoint at the next epoch boundary and exits
+        cleanly; a follow-up run resumes from it."""
+        import signal
+        import threading
+
+        ck = tmp_path / "ck"
+
+        def flags(epochs):
+            return ["--synthetic", "24", "--epochs", str(epochs),
+                    "--eval", "5", "--hidden", "16", "--layers", "1",
+                    "--transformer", "1", "--batch_size", "4",
+                    "--results_dir", str(tmp_path),
+                    "--checkpoint_dir", str(ck), "--checkpoint_every", "5"]
+
+        # 3 s: past backend init + handler install (the run's first compile
+        # takes ~10 s, so the signal still lands mid-first-chunk), far
+        # before the 100000-epoch run could complete
+        timer = threading.Timer(
+            3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            result = main_phdos.main(flags(100000))
+        finally:
+            timer.cancel()
+        assert result["preempted"] is True
+
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+
+        saved = CheckpointManager(str(ck)).latest_epoch()
+        assert saved is not None and 1 <= saved < 100000
+
+        r2 = main_phdos.main(flags(saved + 5))
+        assert r2["preempted"] is False
+        assert np.isfinite(r2["test"]["rmse"])
