@@ -142,14 +142,47 @@ def run_training(
     pad_bins: int = 0,
     bf16_data: bool = False,
 ) -> dict:
-    """Train + eval + early stop; returns the final best metrics."""
-    # SIGTERM (scheduler preemption) latches a flag from setup onward —
-    # a signal during the minutes-long first compile must not kill the run
-    # uncheckpointed; the loop saves at the next epoch boundary and exits
-    # cleanly (train/preemption.py)
+    """Train + eval + early stop; returns the final best metrics.
+
+    SIGTERM (scheduler preemption) is latched from setup onward — a signal
+    during the minutes-long first compile must not kill the run
+    uncheckpointed; the loop saves at the next epoch boundary and exits
+    cleanly (train/preemption.py). The previous handler is restored even
+    when the run raises."""
     from dostransformer_tpu.train.preemption import GracefulShutdown
 
     stop = GracefulShutdown().install()
+    try:
+        return _run_training(stop, task, cfg, train, valid, test,
+                             use_pallas, data_parallel, results_dir,
+                             export_preds, profile_dir, debug_nans, x64,
+                             remat, host_loader, compile_cache, tensorboard,
+                             pad_bins, bf16_data)
+    finally:
+        stop.restore()
+
+
+def _run_training(
+    stop,
+    task: str,
+    cfg: TrainConfig,
+    train: Sequence[GraphSample],
+    valid: Sequence[GraphSample],
+    test: Sequence[GraphSample],
+    use_pallas: Optional[bool],
+    data_parallel: bool,
+    results_dir: str,
+    export_preds: Optional[str],
+    profile_dir: Optional[str],
+    debug_nans: bool,
+    x64: bool,
+    remat: bool,
+    host_loader: bool,
+    compile_cache: Optional[str],
+    tensorboard: Optional[str],
+    pad_bins: int,
+    bf16_data: bool,
+) -> dict:
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
     if x64:
@@ -346,7 +379,6 @@ def run_training(
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # async saves must be durable before exit
-    stop.restore()
     elapsed = time.perf_counter() - t_start
     if profile_dir:
         jax.profiler.stop_trace()
