@@ -228,9 +228,13 @@ def _run_training(
     a_pin = max([loader.atoms_per_graph] + [s.n_nodes for s in eval_samples])
     e_pin = max([loader.edges_per_graph]
                 + [max(s.n_edges, 1) for s in eval_samples])
+    # numpy=True: the per-batch lists are only ever read on the HOST (metric
+    # accumulation / artifact export below); collating them as device arrays
+    # would pin a second full device copy of each eval split for the whole
+    # run on top of the stacked one
     mk_eval = lambda ss: GraphLoader(ss, batch_size=eval_bs,
                                      atoms_per_graph=a_pin,
-                                     edges_per_graph=e_pin)
+                                     edges_per_graph=e_pin, numpy=True)
     valid_loader, test_loader = mk_eval(valid), mk_eval(test)
 
     state = trainer.init_state(next(iter(loader)), seed=cfg.seed)
@@ -257,11 +261,21 @@ def _run_training(
     # reuses the device-resident stack (re-listing the loader per eval would
     # repeat the host collation work the training path eliminated with
     # DeviceDataset).
-    from dostransformer_tpu.train.trainer import stack_batches
-
     valid_batches, test_batches = list(valid_loader), list(test_loader)
-    valid_stacked = stack_batches(valid_batches)
-    test_stacked = stack_batches(test_batches)
+
+    def _place_eval(batches):
+        # stack on the HOST, then ONE upload straight into the target
+        # placement (no staging copy on device 0)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+            return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+        return jax.tree.map(jnp.asarray, stacked)
+
+    valid_stacked = _place_eval(valid_batches)
+    test_stacked = _place_eval(test_batches)
 
     def run_eval(batches, stacked, artifacts=None):
         # whole eval set in ONE dispatch (scan-compiled; Trainer.eval_epoch),
@@ -288,7 +302,8 @@ def _run_training(
             train, cfg.batch_size,
             atoms_per_graph=loader.atoms_per_graph,
             edges_per_graph=loader.edges_per_graph,
-            storage_dtype=jnp.bfloat16 if bf16_data else None)
+            storage_dtype=jnp.bfloat16 if bf16_data else None,
+            sharding=trainer.dataset_sharding())
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

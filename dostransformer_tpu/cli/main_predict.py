@@ -42,6 +42,13 @@ def main(argv=None):
                         "checkpoint (ignores the model-shape flags)")
     args = p.parse_args(argv)
 
+    # multi-host pods must initialize DCN before the backend comes up, or
+    # each process silently serves over 1/N of the devices (same policy as
+    # the training CLIs — parallel/mesh.py fails loudly on a botched init)
+    from dostransformer_tpu.cli.common import maybe_init_multihost
+
+    maybe_init_multihost(args.data_parallel)
+
     from dostransformer_tpu.data.io import load_samples
     from dostransformer_tpu.serve import ExportedPredictor, Predictor
 

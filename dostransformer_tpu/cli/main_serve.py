@@ -53,6 +53,12 @@ def build_server(argv=None):
                         "stragglers (0 = off)")
     args = p.parse_args(argv)
 
+    # same pod policy as main_predict/main_edos: DCN init before the
+    # backend, loud failure instead of silently serving 1/N of the devices
+    from dostransformer_tpu.cli.common import maybe_init_multihost
+
+    maybe_init_multihost(args.data_parallel)
+
     from dostransformer_tpu.serve import ExportedPredictor, Predictor
     from dostransformer_tpu.serve_http import make_server
 
@@ -91,6 +97,10 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        # drains the CoalescingBatcher (queued requests resolve before the
+        # process exits) and closes the listening socket
+        server.server_close()
 
 
 if __name__ == "__main__":

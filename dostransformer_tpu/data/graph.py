@@ -180,6 +180,15 @@ def collate(
 
     from dostransformer_tpu import native
 
+    def _batch_z(s) -> bool:
+        # pack z only when it row-aligns with x, i.e. it is a per-node model
+        # input (phDOS one-hot type, consumed by MLPPhDOS). eDOS z has
+        # n_atoms rows vs x's n_atoms+1 (the prompt node carries no type,
+        # mat2graph.py:143), no eDOS model consumes it, and packing it would
+        # add a [B, A, 100] tensor to every train batch/upload for nothing —
+        # it stays a GraphSample/npz data-fidelity field, like coords.
+        return s.z is not None and s.z.shape[0] == s.x.shape[0]
+
     n_rows = np.array([s.n_nodes for s in samples], np.int64)
     e_rows = np.array([s.n_edges for s in samples], np.int64)
     use_native = (b == b_real and native.available()
@@ -201,7 +210,7 @@ def collate(
         if s0.edge_shift is not None:
             edge_shift = native.pack_f32([s.edge_shift for s in samples],
                                          eg, 3, with_mask=False)[0]
-        if s0.z is not None:
+        if _batch_z(s0):
             node_z = native.pack_f32([s.z for s in samples], a,
                                      s0.z.shape[1], with_mask=False)[0]
     if nodes is None:
@@ -229,9 +238,7 @@ def collate(
         edge_vec = _pack_loop([s.edge_vec for s in samples], eg)
     if edge_shift is None and s0.edge_shift is not None:
         edge_shift = _pack_loop([s.edge_shift for s in samples], eg)
-    if node_z is None and s0.z is not None:
-        # eDOS z has n_atoms rows while x has n_atoms+1 (the prompt node
-        # carries no type, mat2graph.py:143) — fill by z's own row count
+    if node_z is None and _batch_z(s0):
         node_z = _pack_loop([s.z for s in samples], a)
 
     edge_mask = np.zeros((b, eg), np.float32)

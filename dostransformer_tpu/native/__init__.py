@@ -30,22 +30,26 @@ def _load() -> Optional[ctypes.CDLL]:
         from dostransformer_tpu.native.build import build
 
         lib = ctypes.CDLL(build())
+        # symbol binding stays INSIDE the try: a stale on-disk .so from an
+        # older ABI (build() only compares mtimes) must degrade to the
+        # NumPy fallback, not AttributeError out of every collate()
+        if lib.dostpu_abi_version() != 2:
+            return None
+        lib.dostpu_neighbor_list.restype = ctypes.c_int64
+        lib.dostpu_neighbor_list.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.dostpu_pack_f32.restype = None
+        lib.dostpu_pack_i32.restype = None
+        lib.dostpu_pack_concat_f32.restype = None
+        lib.dostpu_pack_concat_i32.restype = None
+        lib.dostpu_pack_edges_i32.restype = None
     except Exception:
         return None
-
-    lib.dostpu_neighbor_list.restype = ctypes.c_int64
-    lib.dostpu_neighbor_list.argtypes = [
-        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-    ]
-    lib.dostpu_pack_f32.restype = None
-    lib.dostpu_pack_i32.restype = None
-    lib.dostpu_pack_concat_f32.restype = None
-    lib.dostpu_pack_concat_i32.restype = None
-    lib.dostpu_pack_edges_i32.restype = None
     _lib = lib
     return _lib
 

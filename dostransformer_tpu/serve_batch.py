@@ -51,6 +51,10 @@ class CoalescingBatcher:
         self.batch_size = getattr(predictor, "batch_size", None)
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        # orders enqueues against close(): the shutdown sentinel must be the
+        # LAST item the queue ever sees, or a request racing close() would
+        # land behind a dead worker and block its Future forever
+        self._gate = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dostpu-batcher")
         self._worker.start()
@@ -63,22 +67,24 @@ class CoalescingBatcher:
             # same message/path as Predictor.predict — never coalesce an
             # empty list into a neighbor's batch
             raise ValueError("empty request: no samples to predict")
-        if self._closed:
-            # a request enqueued after close() would wait forever on a
-            # worker that already exited
-            raise RuntimeError("CoalescingBatcher is closed")
         fut: Future = Future()
-        self._q.put((samples, fut))
+        with self._gate:
+            if self._closed:
+                # a request enqueued after the sentinel would wait forever
+                # on a worker that already exited
+                raise RuntimeError("CoalescingBatcher is closed")
+            self._q.put((samples, fut))
         return fut.result()
 
     def close(self) -> None:
         """Drain pending requests and stop the worker (idempotent).
         Requests enqueued before close() still resolve; predict() after
         close() raises RuntimeError."""
-        self._closed = True
-        if self._worker.is_alive():
-            self._q.put(None)
-            self._worker.join()
+        with self._gate:
+            if not self._closed:
+                self._closed = True
+                self._q.put(None)
+        self._worker.join()
 
     # -- worker ------------------------------------------------------------
 

@@ -33,14 +33,20 @@ class DeviceDataset(struct.PyTreeNode):
     @classmethod
     def from_samples(cls, samples: Sequence[GraphSample], batch_size: int,
                      atoms_per_graph=None, edges_per_graph=None,
-                     storage_dtype=None) -> "DeviceDataset":
+                     storage_dtype=None, sharding=None) -> "DeviceDataset":
         # pad N up to a multiple of batch_size with dummy graphs
         # (graph_mask 0): every sample is seen every epoch, and the masked
         # loss ignores the dummies wherever the permutation lands them
         n = len(samples)
         n_pad = -(-n // batch_size) * batch_size
+        # collate + dtype-convert on the HOST, then ONE upload straight into
+        # the target placement. Staging the full dataset on the default
+        # device first (the old collate(numpy=False) path) would make peak
+        # per-device HBM the WHOLE dataset even when `sharding` splits it
+        # 1/N per device — the opposite of the pod memory layout.
         data = collate(list(samples), atoms_per_graph=atoms_per_graph,
-                       edges_per_graph=edges_per_graph, num_graphs=n_pad)
+                       edges_per_graph=edges_per_graph, num_graphs=n_pad,
+                       numpy=True)
         if storage_dtype is not None:
             # bf16 FEATURE storage: nodes/edges/node_z are the dominant HBM
             # residents and per-step gather traffic; storing them bf16
@@ -55,6 +61,10 @@ class DeviceDataset(struct.PyTreeNode):
                        if data.edges is not None else None),
                 node_z=(data.node_z.astype(storage_dtype)
                         if data.node_z is not None else None))
+        if sharding is not None:
+            data = jax.tree.map(lambda x: jax.device_put(x, sharding), data)
+        else:
+            data = jax.tree.map(jnp.asarray, data)
         return cls(data=data, batch_size=batch_size)
 
     @property

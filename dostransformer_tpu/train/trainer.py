@@ -162,12 +162,23 @@ class Trainer:
         sh = NamedSharding(self.mesh, P())
         return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
+    def dataset_sharding(self):
+        """The placement DeviceDataset.from_samples should upload into
+        (pass as its ``sharding=``): sample-axis sharded for pure DP, fully
+        replicated for dp x tp, None (default device) without a mesh.
+        Uploading straight into this layout avoids staging the whole
+        dataset on device 0 before place_dataset reshards it."""
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P() if self._has_tp else P("data"))
+
     def place_dataset(self, dataset):
         """Device placement for a DeviceDataset's data pytree. Pure DP:
         SHARDED over the sample axis — each device holds only its 1/N of
         the samples (the pod memory layout; shard-local shuffles gather
         locally, VERDICT r2 #3). Single device / dp x tp: replicated
-        (device_put is a no-op when already placed)."""
+        (device_put is a no-op when already placed, so datasets uploaded
+        via from_samples(sharding=dataset_sharding()) pass through)."""
         if self.mesh is None or self._has_tp:
             return self.replicate(dataset.data)
         n_sh = self.mesh.shape["data"]

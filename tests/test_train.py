@@ -528,6 +528,44 @@ class TestDeviceDataset:
                                       np.asarray(state2.step))
 
 
+
+    def test_from_samples_uploads_straight_into_dp_sharding(self):
+        """DeviceDataset.from_samples(sharding=trainer.dataset_sharding())
+        must land sample-axis sharded WITHOUT a device-0 staging copy of the
+        whole dataset (the pod memory layout), with values identical to the
+        host collate and training results identical to the replicated-upload
+        path."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(16, seed=8)
+        mesh = make_mesh(axes=("data",))
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+        # donate=False: the same initial state is dispatched twice below
+        tr = Trainer(model, mesh=mesh, donate=False)
+        assert str(tr.dataset_sharding().spec) == "PartitionSpec('data',)"
+
+        dds = DeviceDataset.from_samples(samples, batch_size=8,
+                                         sharding=tr.dataset_sharding())
+        assert str(dds.data.nodes.sharding.spec) == "PartitionSpec('data',)"
+        host = collate(samples, num_graphs=16, numpy=True)
+        np.testing.assert_array_equal(np.asarray(dds.data.nodes), host.nodes)
+        np.testing.assert_array_equal(np.asarray(dds.data.y), host.y)
+
+        # same training trajectory as the default-device upload
+        dds_default = DeviceDataset.from_samples(samples, batch_size=8)
+        state = tr.init_state(collate(samples[:8]))
+        rng = jax.random.PRNGKey(3)
+        s1, l1, _ = tr.train_epoch_device(state, dds, rng)
+        s2, l2, _ = tr.train_epoch_device(state, dds_default, rng)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-6, atol=1e-7)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            s1.params, s2.params)
+
+
 class TestDistributed:
     """The TPU-native fake-backend analogue (SURVEY.md §4): the same train
     step on 1 device and on the 8-device mesh must agree."""
