@@ -245,11 +245,19 @@ def _run_training(
         from dostransformer_tpu.train.tensorboard import SummaryWriter
 
         tb = SummaryWriter(tensorboard)
-    ckpt = None
+    ckpt = best_ckpt = None
     if cfg.checkpoint_dir and cfg.checkpoint_every:
-        from dostransformer_tpu.train.checkpoint import CheckpointManager
+        from dostransformer_tpu.train.checkpoint import (
+            CheckpointManager,
+            best_dir,
+        )
 
         ckpt = CheckpointManager(cfg.checkpoint_dir)
+        # the best-validation model is checkpointed SEPARATELY (one kept):
+        # after early stopping, the latest cadence checkpoint is not the
+        # model the reported test metrics describe — serving loads best/
+        best_ckpt = CheckpointManager(best_dir(cfg.checkpoint_dir),
+                                      max_to_keep=1)
         restored = ckpt.restore(state)
     start_epoch = 0
     if ckpt is not None and restored is not None:
@@ -385,6 +393,8 @@ def _run_training(
                 print(f"\n[eval {epoch}] valid rmse {vm['rmse']:.4f} "
                       f"mae {vm['mae']:.4f} | test rmse {tm['rmse']:.4f} "
                       f"r2 {tm['r2']:.4f}")
+                if best_ckpt is not None:
+                    best_ckpt.save(epoch, state, tracker)  # async
             if tracker.step_and_should_stop():
                 stopped_early = True
                 break
@@ -394,6 +404,8 @@ def _run_training(
 
     if ckpt is not None:
         ckpt.wait_until_finished()  # async saves must be durable before exit
+    if best_ckpt is not None:
+        best_ckpt.wait_until_finished()
     elapsed = time.perf_counter() - t_start
     if profile_dir:
         jax.profiler.stop_trace()

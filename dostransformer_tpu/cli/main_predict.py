@@ -32,6 +32,11 @@ def main(argv=None):
                    help="shard each inference batch over all visible devices "
                         "(params replicated — the pod serving layout); "
                         "--batch_size must divide by the device count")
+    p.add_argument("--checkpoint_state", choices=["best", "latest"],
+                   default="best",
+                   help="'best' (default) serves the best-validation model "
+                        "(<dir>/best, falling back to latest when absent); "
+                        "'latest' serves the newest cadence checkpoint")
     p.add_argument("--export", metavar="DIR",
                    help="after loading the checkpoint, write an "
                         "ahead-of-time serving artifact (StableHLO with "
@@ -74,7 +79,8 @@ def main(argv=None):
             args.checkpoint_dir, task=args.task, example=samples[0],
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
-            batch_size=args.batch_size, mesh=mesh)
+            batch_size=args.batch_size, mesh=mesh,
+            prefer=args.checkpoint_state)
         if args.export:
             predictor.export(args.export, samples)
             print(f"exported serving artifact -> {args.export}")

@@ -45,6 +45,11 @@ def build_server(argv=None):
                         "devices (params replicated — the pod serving "
                         "layout); --batch_size must divide by the device "
                         "count; checkpoint serving only")
+    p.add_argument("--checkpoint_state", choices=["best", "latest"],
+                   default="best",
+                   help="'best' (default) serves the best-validation model "
+                        "(<dir>/best, falling back to latest when absent); "
+                        "'latest' serves the newest cadence checkpoint")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--coalesce_ms", type=float, default=0.0,
@@ -83,7 +88,8 @@ def build_server(argv=None):
             args.checkpoint_dir, task=args.task, example=example,
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
-            batch_size=args.batch_size, mesh=mesh)
+            batch_size=args.batch_size, mesh=mesh,
+            prefer=args.checkpoint_state)
     return make_server(predictor, host=args.host, port=args.port,
                        coalesce_ms=args.coalesce_ms)
 

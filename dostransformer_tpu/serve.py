@@ -154,23 +154,41 @@ class Predictor:
         hidden: int = 256,
         batch_size: int = 8,
         mesh=None,
+        prefer: str = "best",
         **model_kwargs,
     ) -> "Predictor":
         """Restore params from the training CheckpointManager layout.
+
+        ``prefer="best"`` (default) serves the best-validation model the
+        training loop checkpointed under ``<dir>/best`` — the model the run's
+        reported test metrics describe (after early stopping the LATEST
+        cadence checkpoint is a later, worse state) — falling back to the
+        latest cadence checkpoint when no best was saved.
+        ``prefer="latest"`` serves the newest cadence checkpoint.
 
         Pass ``mesh`` to serve the restored checkpoint sharded over a 'data'
         mesh axis (the pod serving layout) — forwarded to the constructor,
         which replicates the params and shards each inference batch."""
         from dostransformer_tpu.data.graph import collate
-        from dostransformer_tpu.train.checkpoint import CheckpointManager
+        from dostransformer_tpu.train.checkpoint import (
+            CheckpointManager,
+            best_dir,
+        )
         from dostransformer_tpu.train.trainer import Trainer
 
+        if prefer not in ("best", "latest"):
+            raise ValueError(f"prefer must be 'best' or 'latest', "
+                             f"got {prefer!r}")
         model = build_model(task, embedder, layers=layers, t_layers=t_layers,
                             hidden=hidden, **model_kwargs)
         trainer = Trainer(model, clamp_targets=False, eval_clamp=False)
         template = trainer.init_state(collate([example]))
-        mgr = CheckpointManager(checkpoint_dir)
-        restored = mgr.restore(template)
+        restored = None
+        if prefer == "best" and os.path.isdir(best_dir(checkpoint_dir)):
+            restored = CheckpointManager(
+                best_dir(checkpoint_dir)).restore(template)
+        if restored is None:
+            restored = CheckpointManager(checkpoint_dir).restore(template)
         if restored is None:
             raise FileNotFoundError(
                 f"no checkpoint found under {checkpoint_dir}")

@@ -21,6 +21,17 @@ except Exception:  # pragma: no cover
 from dostransformer_tpu.train.early_stop import BestTracker
 from dostransformer_tpu.train.trainer import TrainState
 
+#: subdirectory of a checkpoint dir holding the BEST-validation model (one
+#: kept). The cadence checkpoints in the parent dir are for crash-resume —
+#: after early stopping the LATEST state is NOT the model the reported test
+#: metrics describe (the reference evaluates test at the best-valid epoch,
+#: main_eDOS.py:140-157); serving loads from here by default.
+BEST_SUBDIR = "best"
+
+
+def best_dir(directory: str) -> str:
+    return os.path.join(directory, BEST_SUBDIR)
+
 
 class CheckpointManager:
     """Thin orbax wrapper: save/restore (TrainState, epoch, BestTracker)."""

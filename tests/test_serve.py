@@ -584,3 +584,55 @@ class TestCoalescingBatcher:
         batcher.close()
         with pytest.raises(RuntimeError, match="closed"):
             batcher.predict([1])
+
+
+class TestBestCheckpointServing:
+    def test_from_checkpoint_prefers_best_model(self, tmp_path):
+        """Training checkpoints the best-validation model under <ckpt>/best;
+        from_checkpoint serves it by default (after early stopping the
+        latest cadence checkpoint is a later, worse state) and serves the
+        latest on request."""
+        import jax
+
+        from dostransformer_tpu.train.checkpoint import (
+            CheckpointManager,
+            best_dir,
+        )
+
+        ck = tmp_path / "ckpt"
+        main_phdos.main([
+            "--synthetic", "16", "--epochs", "2", "--eval", "1",
+            "--hidden", "32", "--layers", "2", "--transformer", "1",
+            "--batch_size", "4", "--results_dir", str(tmp_path),
+            "--checkpoint_dir", str(ck), "--checkpoint_every", "1"])
+        assert CheckpointManager(best_dir(str(ck))).latest_epoch() is not None
+
+        samples = synthetic_phdos_samples(6, seed=40)
+        common = dict(task="phdos", example=samples[0], layers=2,
+                      t_layers=1, hidden=32, batch_size=4)
+        p_best = Predictor.from_checkpoint(str(ck), **common)
+
+        # simulate post-best epochs: push a perturbed state at a later epoch
+        # into the cadence manager only
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.train.trainer import Trainer
+
+        model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, clamp_targets=False, eval_clamp=False)
+        template = tr.init_state(collate([samples[0]]))
+        mgr = CheckpointManager(str(ck))
+        state, epoch, _ = mgr.restore(template)
+        perturbed = state.replace(
+            params=jax.tree.map(lambda x: x + 1.0, state.params))
+        mgr.save(epoch + 100, perturbed, wait=True)
+
+        p_best2 = Predictor.from_checkpoint(str(ck), **common)
+        p_latest = Predictor.from_checkpoint(str(ck), prefer="latest",
+                                             **common)
+        leaf = lambda p: np.asarray(jax.tree.leaves(p.params)[0])
+        np.testing.assert_array_equal(leaf(p_best2), leaf(p_best))
+        assert not np.array_equal(leaf(p_latest), leaf(p_best))
+        np.testing.assert_allclose(
+            leaf(p_latest), np.asarray(jax.tree.leaves(
+                perturbed.params)[0]), rtol=0, atol=0)
