@@ -60,6 +60,15 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all visible devices")
+    p.add_argument("--tensor_parallel", type=int, default=1, metavar="N",
+                   help="shard the transformer FFN over an N-device 'model' "
+                        "mesh axis (Megatron fc1 column-/fc2 row-parallel; "
+                        "XLA inserts the psum). The remaining devices form "
+                        "the 'data' axis, so this composes with "
+                        "--data_parallel. N/A-by-scale at hidden=256 "
+                        "(SURVEY.md §2.5 TP row) — provided for scaled-up "
+                        "--hidden runs. Pallas kernels are not partitionable "
+                        "over 'model' and are disabled under TP")
     p.add_argument("--checkpoint_dir", type=str, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--log_jsonl", type=str, default=None)
@@ -130,6 +139,7 @@ def run_training(
     test: Sequence[GraphSample],
     use_pallas: Optional[bool] = None,
     data_parallel: bool = False,
+    tensor_parallel: int = 1,
     results_dir: str = ".",
     export_preds: Optional[str] = None,
     profile_dir: Optional[str] = None,
@@ -154,7 +164,8 @@ def run_training(
     stop = GracefulShutdown().install()
     try:
         return _run_training(stop, task, cfg, train, valid, test,
-                             use_pallas, data_parallel, results_dir,
+                             use_pallas, data_parallel, tensor_parallel,
+                             results_dir,
                              export_preds, profile_dir, debug_nans, x64,
                              remat, host_loader, compile_cache, tensorboard,
                              pad_bins, bf16_data)
@@ -171,6 +182,7 @@ def _run_training(
     test: Sequence[GraphSample],
     use_pallas: Optional[bool],
     data_parallel: bool,
+    tensor_parallel: int,
     results_dir: str,
     export_preds: Optional[str],
     profile_dir: Optional[str],
@@ -198,18 +210,43 @@ def _run_training(
     # batch shard (validated: tests/test_train.py
     # test_dp_with_pallas_matches_single_device)
     use_fused_mp = None
+    if tensor_parallel > 1:
+        # dp x tp runs the auto-SPMD jit path: XLA partitions the FFN
+        # matmuls from the Megatron param shardings, but it cannot partition
+        # a pallas_call over the 'model' axis — the custom kernels are
+        # shard_map-only (pure-DP path). Fail loudly on an explicit request.
+        if use_pallas:
+            raise SystemExit(
+                "--use_pallas is incompatible with --tensor_parallel: the "
+                "Pallas kernels run per-device under the pure-DP shard_map; "
+                "XLA cannot partition them over the 'model' mesh axis")
+        use_pallas, use_fused_mp = False, False
     model = build_model(task, cfg.embedder, layers=cfg.layers,
                         t_layers=cfg.transformer, hidden=cfg.hidden,
                         attn_drop=cfg.attn_drop, padding=cfg.padding,
                         use_pallas=use_pallas, dtype=cfg.dtype, remat=remat,
                         use_fused_mp=use_fused_mp, bins_pad=pad_bins or None)
-    mesh = make_mesh(axes=("data",)) if data_parallel else None
-    if mesh is not None and cfg.batch_size % mesh.devices.size != 0:
+    if tensor_parallel > 1:
+        n_dev = len(jax.devices())
+        if n_dev % tensor_parallel != 0:
+            raise SystemExit(
+                f"--tensor_parallel {tensor_parallel} does not divide the "
+                f"{n_dev} visible devices")
+        # all devices participate: leftover devices form the 'data' axis
+        # (data=1 when tp uses the whole slice) — composes with/without
+        # --data_parallel
+        mesh = make_mesh(shape=(n_dev // tensor_parallel, tensor_parallel),
+                         axes=("data", "model"))
+    elif data_parallel:
+        mesh = make_mesh(axes=("data",))
+    else:
+        mesh = None
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    if mesh is not None and cfg.batch_size % n_data != 0:
         raise SystemExit(
-            f"--data_parallel: --batch_size {cfg.batch_size} is not "
-            f"divisible by the {mesh.devices.size} visible devices; each "
-            f"device takes batch/{mesh.devices.size} samples — pick a "
-            f"multiple of {mesh.devices.size}")
+            f"--batch_size {cfg.batch_size} is not divisible by the "
+            f"{n_data}-device 'data' mesh axis; each device takes "
+            f"batch/{n_data} samples — pick a multiple of {n_data}")
     is_edos = task == "edos"
     trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
                       beta=cfg.beta, clamp_targets=is_edos,
@@ -221,8 +258,7 @@ def _run_training(
     # per-sample masked, so ANY eval batch size gives bit-identical results —
     # use the training batch size (or the mesh size under DP) to cut the
     # number of eval dispatches
-    eval_bs = (mesh.devices.size if mesh is not None
-               else max(1, cfg.batch_size))
+    eval_bs = n_data if mesh is not None else max(1, cfg.batch_size)
     # pin eval shapes to the training buckets: one compiled shape per split
     eval_samples = list(valid) + list(test)
     a_pin = max([loader.atoms_per_graph] + [s.n_nodes for s in eval_samples])

@@ -34,7 +34,8 @@ from dostransformer_tpu.data.synthetic import synthetic_phdos_samples
 def main(argv=None):
     args = build_arg_parser("phdos").parse_args(argv)
     cfg = config_from_args(args)
-    maybe_init_multihost(args.data_parallel)  # before any other JAX call
+    # before any other JAX call
+    maybe_init_multihost(args.data_parallel or args.tensor_parallel > 1)
     print(f"device: {resolve_device_info()}")
 
     if args.synthetic:
@@ -74,6 +75,7 @@ def main(argv=None):
     result = run_training("phdos", cfg, train, valid, test,
                           use_pallas=args.use_pallas,
                           data_parallel=args.data_parallel,
+                          tensor_parallel=args.tensor_parallel,
                           results_dir=args.results_dir,
                           export_preds=args.export_preds,
                           profile_dir=args.profile_dir,
