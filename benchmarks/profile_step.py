@@ -23,7 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_epoch(hidden, batch, steps, dtype="float32", pad_bins=0):
+def run_epoch(hidden, batch, steps, dtype="float32", pad_bins=0,
+              min_atoms=4, max_atoms=24):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +35,8 @@ def run_epoch(hidden, batch, steps, dtype="float32", pad_bins=0):
     from dostransformer_tpu.train.device_dataset import DeviceDataset
     from dostransformer_tpu.train.trainer import Trainer
 
-    samples = synthetic_edos_samples(64, seed=0, min_atoms=4, max_atoms=24)
+    samples = synthetic_edos_samples(64, seed=0, min_atoms=min_atoms,
+                                     max_atoms=max_atoms)
     loader = GraphLoader(samples, batch_size=batch)
     on_tpu = jax.default_backend() == "tpu"
     model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=hidden,
@@ -61,6 +63,10 @@ def main():
     p.add_argument("--dtype", default="float32")
     p.add_argument("--top", type=int, default=28)
     p.add_argument("--pad_bins", type=int, default=0)
+    p.add_argument("--min_atoms", type=int, default=4)
+    p.add_argument("--max_atoms", type=int, default=24,
+                   help="64-230 reproduces BASELINE.md's large-crystal row "
+                        "(SURVEY §3.3 envelope)")
     args = p.parse_args()
 
     import jax
@@ -68,7 +74,8 @@ def main():
 
     trainer, state, dds, rng, _ = run_epoch(args.hidden, args.batch,
                                             args.steps, args.dtype,
-                                            args.pad_bins)
+                                            args.pad_bins, args.min_atoms,
+                                            args.max_atoms)
     tmp = tempfile.mkdtemp(prefix="dostpu_prof_")
     jax.profiler.start_trace(tmp)
     t0 = time.perf_counter()

@@ -275,9 +275,15 @@ def _run_training(
 
     state = trainer.init_state(next(iter(loader)), seed=cfg.seed)
     tracker = BestTracker(es=cfg.es, eval_every=cfg.eval_every)
-    logger = JSONLLogger(cfg.log_jsonl)
+    # On a multi-host pod every process runs the identical host-side loop
+    # (device collectives require it), but file writers must emit ONE copy:
+    # results/JSONL/TensorBoard/artifacts write from process 0 only.
+    # Checkpoint saves are NOT gated — orbax is itself multihost-aware
+    # (all processes must call save; it coordinates who writes).
+    is_main = jax.process_index() == 0
+    logger = JSONLLogger(cfg.log_jsonl if is_main else None)
     tb = None
-    if tensorboard:
+    if tensorboard and is_main:
         from dostransformer_tpu.train.tensorboard import SummaryWriter
 
         tb = SummaryWriter(tensorboard)
@@ -321,11 +327,22 @@ def _run_training(
     valid_stacked = _place_eval(valid_batches)
     test_stacked = _place_eval(test_batches)
 
+    def _fetch_sharded(tree):
+        # eval outputs are sharded over 'data' (out_specs P(None, 'data'));
+        # on a multi-host pod each process only holds its local shards, so a
+        # plain np.asarray raises — allgather reassembles the global value
+        # on every process (identical host-side metric math everywhere)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.tree.map(lambda x: np.asarray(x), tree)
+
     def run_eval(batches, stacked, artifacts=None):
         # whole eval set in ONE dispatch (scan-compiled; Trainer.eval_epoch),
         # then accumulate per batch on host from the fetched stack
         ms = trainer.eval_epoch(state.params, stacked)
-        ms = jax.tree.map(lambda x: np.asarray(x), ms)
+        ms = _fetch_sharded(ms)
         acc = MetricAccumulator()
         for i, batch in enumerate(batches):
             m = jax.tree.map(lambda x: x[i], ms)
@@ -449,14 +466,17 @@ def _run_training(
         from dostransformer_tpu.train.artifacts import EvalArtifacts
 
         art = EvalArtifacts()
+        # the eval dispatch (and its pod allgather) is collective — every
+        # process must run it; only process 0 writes the file
         run_eval(test_batches, test_stacked, artifacts=art)
-        mp_by_id = {}
-        for s in list(train) + list(valid) + list(test):
-            mp_by_id[int(s.sample_id)] = s.mp_id
-        mp_ids = [mp_by_id.get(i, str(i))
-                  for i in range(max(mp_by_id, default=-1) + 1)]
-        art.save(export_preds, mp_ids=mp_ids)
-        print(f"\nwrote eval artifacts -> {export_preds}")
+        if is_main:
+            mp_by_id = {}
+            for s in list(train) + list(valid) + list(test):
+                mp_by_id[int(s.sample_id)] = s.mp_id
+            mp_ids = [mp_by_id.get(i, str(i))
+                      for i in range(max(mp_by_id, default=-1) + 1)]
+            art.save(export_preds, mp_ids=mp_ids)
+            print(f"\nwrote eval artifacts -> {export_preds}")
     sps = n_steps * cfg.batch_size / max(elapsed, 1e-9)
     result = {
         "best_epoch": tracker.best_epoch,
@@ -471,7 +491,8 @@ def _run_training(
     logger.close()
     if tb is not None:
         tb.close()
-    _write_results_line(task, cfg, result, results_dir)
+    if is_main:
+        _write_results_line(task, cfg, result, results_dir)
     return result
 
 

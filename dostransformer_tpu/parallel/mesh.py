@@ -115,6 +115,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     # is_initialized() only inspects the distributed client state.
     if jax.distributed.is_initialized():
         return True  # already initialized
+    env = os.environ
+    # manual pod bring-up (no Slurm/MPI/TPU-metadata launcher): the explicit
+    # triple can come from the environment — jax 0.9 has no generic env-var
+    # cluster detector, so without this a hand-launched pod could not reach
+    # jax.distributed.initialize through the CLIs at all
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS") or None
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
     explicit = any(v is not None
                    for v in (coordinator_address, num_processes, process_id))
     if not explicit and not _cluster_is_multiprocess():

@@ -45,7 +45,7 @@ WORKER = textwrap.dedent("""
 
     port, pid = sys.argv[1], int(sys.argv[2])
     ok = initialize_multihost(f"127.0.0.1:{port}", 2, pid,
-                              initialization_timeout=60)
+                              initialization_timeout=180)
     assert ok, "explicit args must initialize"
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 4, jax.device_count()
@@ -156,3 +156,76 @@ class TestFailureSemantics:
             capture_output=True, text=True, timeout=240).stdout
         assert "RAISED" in out, out
         assert "SILENT" not in out
+
+
+TRAIN_FLAGS = [
+    "--synthetic", "24", "--epochs", "2", "--eval", "1",
+    "--hidden", "32", "--layers", "2", "--transformer", "1",
+    "--batch_size", "8", "--data_parallel",
+]
+
+
+class TestTwoProcessTraining:
+    def test_two_process_dp_training_matches_single_process(self, tmp_path):
+        """Full multi-host DP TRAINING (not just init): two real processes
+        x 4 CPU devices each drive the production CLI end-to-end against a
+        shared results + checkpoint directory. Pins the pod contract:
+        identical host-side loops everywhere, eval metrics allgathered (the
+        out shards span processes), orbax coordinating the shared-dir save,
+        and file writers emitting exactly ONE copy (process 0). The final
+        metrics must match a single-process 8-device run of the same config
+        up to cross-host psum reduction-order rounding."""
+        shared = tmp_path / "shared"
+        shared.mkdir()
+        port = _free_port()
+
+        def launch(pid):
+            env = _worker_env()
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+            env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+            env["JAX_NUM_PROCESSES"] = "2"
+            env["JAX_PROCESS_ID"] = str(pid)
+            return subprocess.Popen(
+                [sys.executable, "-u", "-m",
+                 "dostransformer_tpu.cli.main_phdos", *TRAIN_FLAGS,
+                 "--results_dir", str(shared),
+                 "--checkpoint_dir", str(shared / "ck"),
+                 "--checkpoint_every", "1"],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True)
+
+        procs = [launch(i) for i in range(2)]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}"
+
+        # exactly ONE results block despite two processes sharing the dir
+        results = (shared / "experiments_DOSTransformer.txt").read_text()
+        assert results.count("best epoch") == 1
+
+        # orbax coordinated the shared checkpoint dir (incl. best/)
+        assert (shared / "ck" / "best").is_dir()
+
+        # single-process 8-device reference run of the SAME config
+        env = _worker_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        single = tmp_path / "single"
+        single.mkdir()
+        res = subprocess.run(
+            [sys.executable, "-u", "-m",
+             "dostransformer_tpu.cli.main_phdos", *TRAIN_FLAGS,
+             "--results_dir", str(single)],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert res.returncode == 0, res.stdout + res.stderr
+
+        def rmse_of(text):
+            import re
+
+            return float(re.search(r"best RMSE : ([0-9.]+)", text).group(1))
+
+        rmse_pod = rmse_of(results)
+        rmse_one = rmse_of(
+            (single / "experiments_DOSTransformer.txt").read_text())
+        # same 8-device math; cross-host psum may reduce in a different
+        # order than the single-process collective (~1e-7 relative)
+        assert abs(rmse_pod - rmse_one) <= 1e-3 * max(rmse_one, 1e-9)
