@@ -71,7 +71,15 @@ def _assemble(pending, keeps, batch_size: int) -> np.ndarray:
     paid once per call, never per batch."""
     dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
            else pending[0])
-    flat = np.asarray(dev)                          # ONE host transfer
+    if jax.process_count() > 1:
+        # pod serving: the outputs are sharded over 'data' and the shards
+        # span processes — np.asarray on non-addressable shards raises;
+        # allgather reassembles the global result on every process
+        from jax.experimental import multihost_utils
+
+        flat = multihost_utils.process_allgather(dev, tiled=True)
+    else:
+        flat = np.asarray(dev)                      # ONE host transfer
     outs = [flat[i * batch_size: i * batch_size + batch_size][keep]
             for i, keep in enumerate(keeps)]
     return np.concatenate(outs, axis=0)
@@ -133,12 +141,13 @@ class Predictor:
                                        self._batch_sharding),
                 out_shardings=self._batch_sharding)
             # stacked batches are [S, B, ...]: batch axis is axis 1
-            chunk_sharding = NamedSharding(mesh, P(None, "data"))
+            self._chunk_sharding = NamedSharding(mesh, P(None, "data"))
             self._forward_chunk = jax.jit(
                 forward_chunk, in_shardings=(self._param_sharding,
-                                             chunk_sharding),
+                                             self._chunk_sharding),
                 out_shardings=self._batch_sharding)
         else:
+            self._batch_sharding = self._chunk_sharding = None
             self._forward = jax.jit(forward)
             self._forward_chunk = jax.jit(forward_chunk)
 
@@ -261,12 +270,27 @@ class Predictor:
         loader = GraphLoader(samples, batch_size=self.batch_size,
                              numpy=True)
 
+        # on a multi-process pod, jit refuses numpy args against shardings
+        # that span processes — pre-place them as global arrays (device_put
+        # accepts same-on-every-process host values). Single-process keeps
+        # the measured-fast paths: eager per-leaf asarray for singles, numpy
+        # jit args for chunks.
+        pod = jax.process_count() > 1 and self._batch_sharding is not None
+
         def one(batch):
-            dev_b = jax.tree.map(jax.numpy.asarray, batch)
+            if pod:
+                dev_b = jax.tree.map(
+                    lambda x: jax.device_put(x, self._batch_sharding), batch)
+            else:
+                dev_b = jax.tree.map(jax.numpy.asarray, batch)
             return self._forward(self.params, dev_b)
 
         def many(batches):
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            if pod:
+                stacked = jax.tree.map(
+                    lambda x: jax.device_put(x, self._chunk_sharding),
+                    stacked)
             return self._forward_chunk(self.params, stacked)
 
         pending, keeps = _stream_dispatch(loader, self._pick_chunk,

@@ -14,6 +14,7 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 from dostransformer_tpu.parallel.mesh import initialize_multihost
@@ -229,3 +230,61 @@ class TestTwoProcessTraining:
         # same 8-device math; cross-host psum may reduce in a different
         # order than the single-process collective (~1e-7 relative)
         assert abs(rmse_pod - rmse_one) <= 1e-3 * max(rmse_one, 1e-9)
+
+
+SERVE_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    import numpy as np
+    from dostransformer_tpu.data.synthetic import synthetic_phdos_samples
+    from dostransformer_tpu.models import DOSTransformerPhDOS
+    from dostransformer_tpu.parallel.mesh import initialize_multihost, make_mesh
+    from dostransformer_tpu.serve import Predictor
+    from dostransformer_tpu.data.graph import collate
+
+    port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    if nproc > 1:
+        assert initialize_multihost(f"127.0.0.1:{port}", nproc, pid,
+                                    initialization_timeout=180)
+    samples = synthetic_phdos_samples(12, seed=5)
+    model = DOSTransformerPhDOS(layers=2, t_layers=1, hidden=32)
+    params = model.init(jax.random.PRNGKey(0), collate([samples[0]]))["params"]
+    mesh = make_mesh(axes=("data",))  # 8 global devices, 2 processes
+    p = Predictor(model, params, batch_size=8, mesh=mesh)
+    out = p.predict(samples)
+    assert out.shape == (12, 51), out.shape
+    print("SERVE_SUM", float(np.float64(out.sum())))
+""")
+
+
+class TestTwoProcessServing:
+    def test_pod_predict_matches_single_process(self, tmp_path):
+        """Mesh-sharded serving on a real 2-process pod: outputs are sharded
+        over 'data' across processes, so the single fetch must allgather.
+        Both processes must return the identical full result, equal to a
+        single-process prediction of the same model/params."""
+        port = _free_port()
+        script = tmp_path / "serve_worker.py"
+        script.write_text(SERVE_WORKER)
+        env = _worker_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i), "2"],
+            env={**env}, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        sums = []
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}"
+            sums.append(float(out.split("SERVE_SUM")[1].strip()))
+        assert sums[0] == sums[1]
+
+        # single-process reference value (8 devices, same params/mesh axes)
+        single = subprocess.run(
+            [sys.executable, str(script), "0", "0", "1"],
+            env=_worker_env() | {
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+            capture_output=True, text=True, timeout=420)
+        assert single.returncode == 0, single.stdout + single.stderr
+        ref = float(single.stdout.split("SERVE_SUM")[1].strip())
+        np.testing.assert_allclose(sums[0], ref, rtol=1e-5)
