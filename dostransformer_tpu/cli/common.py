@@ -258,7 +258,11 @@ def _run_training(
     # per-sample masked, so ANY eval batch size gives bit-identical results —
     # use the training batch size (or the mesh size under DP) to cut the
     # number of eval dispatches
-    eval_bs = n_data if mesh is not None else max(1, cfg.batch_size)
+    # largest multiple of the 'data' axis that fits the training batch (so
+    # TP meshes with a small data axis don't collapse eval to batch n_data
+    # and inflate the scan length)
+    eval_bs = (max(n_data, cfg.batch_size - cfg.batch_size % n_data)
+               if mesh is not None else max(1, cfg.batch_size))
     # pin eval shapes to the training buckets: one compiled shape per split
     eval_samples = list(valid) + list(test)
     a_pin = max([loader.atoms_per_graph] + [s.n_nodes for s in eval_samples])
@@ -297,9 +301,16 @@ def _run_training(
         ckpt = CheckpointManager(cfg.checkpoint_dir)
         # the best-validation model is checkpointed SEPARATELY (one kept):
         # after early stopping, the latest cadence checkpoint is not the
-        # model the reported test metrics describe — serving loads best/
+        # model the reported test metrics describe — serving loads best/.
+        # Saves use a MONOTONIC ordinal, not the epoch: a resumed run can
+        # find a new best at an epoch <= the one already in best/ (the
+        # restored cadence state predates the old best), and orbax silently
+        # refuses saves at non-increasing steps — the true epoch rides in
+        # the checkpoint meta instead.
         best_ckpt = CheckpointManager(best_dir(cfg.checkpoint_dir),
                                       max_to_keep=1)
+        best_ordinal = best_ckpt.latest_epoch()
+        best_ordinal = -1 if best_ordinal is None else best_ordinal
         restored = ckpt.restore(state)
     start_epoch = 0
     if ckpt is not None and restored is not None:
@@ -327,22 +338,16 @@ def _run_training(
     valid_stacked = _place_eval(valid_batches)
     test_stacked = _place_eval(test_batches)
 
-    def _fetch_sharded(tree):
-        # eval outputs are sharded over 'data' (out_specs P(None, 'data'));
-        # on a multi-host pod each process only holds its local shards, so a
-        # plain np.asarray raises — allgather reassembles the global value
-        # on every process (identical host-side metric math everywhere)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            return multihost_utils.process_allgather(tree, tiled=True)
-        return jax.tree.map(lambda x: np.asarray(x), tree)
-
     def run_eval(batches, stacked, artifacts=None):
         # whole eval set in ONE dispatch (scan-compiled; Trainer.eval_epoch),
-        # then accumulate per batch on host from the fetched stack
+        # then accumulate per batch on host. The eval outputs are sharded
+        # over 'data' (out_specs P(None, 'data')); on a multi-host pod the
+        # shards span processes, so fetch_global allgathers them — identical
+        # host-side metric math on every process.
+        from dostransformer_tpu.parallel.mesh import fetch_global
+
         ms = trainer.eval_epoch(state.params, stacked)
-        ms = _fetch_sharded(ms)
+        ms = fetch_global(ms)
         acc = MetricAccumulator()
         for i, batch in enumerate(batches):
             m = jax.tree.map(lambda x: x[i], ms)
@@ -419,7 +424,21 @@ def _run_training(
                 tb.add_scalars(epoch + i + 1, {"train/loss": mean_loss})
         epoch += chunk
 
-        if stop.requested:
+        stop_now = stop.requested
+        if jax.process_count() > 1:
+            # a pod must AGREE on preemption: the scheduler may SIGTERM only
+            # the reclaimed host (or signals land straddling a boundary
+            # check), and a lone process entering the collective
+            # checkpoint save while its peers dispatch the next train chunk
+            # deadlocks the pod inside the grace window. One tiny
+            # allgather per chunk boundary makes the decision global:
+            # any process signaled -> every process checkpoints and exits.
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.array([stop_now], dtype=np.bool_))
+            stop_now = bool(np.asarray(flags).any())
+        if stop_now:
             # preemption grace windows are short: skip the pending eval
             # (resume re-runs it), save NOW, exit cleanly. The per-epoch
             # shuffle keys derive from (seed, epoch), so the follow-up run
@@ -447,7 +466,9 @@ def _run_training(
                       f"mae {vm['mae']:.4f} | test rmse {tm['rmse']:.4f} "
                       f"r2 {tm['r2']:.4f}")
                 if best_ckpt is not None:
-                    best_ckpt.save(epoch, state, tracker)  # async
+                    best_ordinal += 1
+                    best_ckpt.save(best_ordinal, state, tracker,  # async
+                                   epoch_meta=epoch)
             if tracker.step_and_should_stop():
                 stopped_early = True
                 break

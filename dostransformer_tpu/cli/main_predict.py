@@ -33,7 +33,7 @@ def main(argv=None):
                         "(params replicated — the pod serving layout); "
                         "--batch_size must divide by the device count")
     p.add_argument("--checkpoint_state", choices=["best", "latest"],
-                   default="best",
+                   default=None,
                    help="'best' (default) serves the best-validation model "
                         "(<dir>/best, falling back to latest when absent); "
                         "'latest' serves the newest cadence checkpoint")
@@ -63,6 +63,9 @@ def main(argv=None):
     if args.from_exported and args.data_parallel:
         p.error("--data_parallel serves from a checkpoint; exported "
                 "artifacts are single-device functions")
+    if args.from_exported and args.checkpoint_state:
+        p.error("--checkpoint_state picks which checkpoint to load; an "
+                "exported artifact has its params baked in")
     samples = load_samples(args.input)
     if args.from_exported:
         predictor = ExportedPredictor(args.from_exported)
@@ -80,18 +83,29 @@ def main(argv=None):
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
             batch_size=args.batch_size, mesh=mesh,
-            prefer=args.checkpoint_state)
+            prefer=args.checkpoint_state or "best")
+        import jax
+
+        # pod runs execute this CLI on EVERY process (the predict dispatch
+        # and its fetch allgather are collectives) but exactly one copy of
+        # each output file may be written — concurrent writers to the
+        # shared filesystem interleave and corrupt the npz/artifact
+        is_main = jax.process_index() == 0
         if args.export:
-            predictor.export(args.export, samples)
-            print(f"exported serving artifact -> {args.export}")
+            if is_main:
+                predictor.export(args.export, samples)
+                print(f"exported serving artifact -> {args.export}")
             return None
     dos = predictor.predict(samples)
-    np.savez_compressed(
-        args.output, dos=dos,
-        sample_id=np.asarray([s.sample_id for s in samples]),
-        mp_id=np.asarray([s.mp_id for s in samples]))
-    print(f"predicted {dos.shape[0]} spectra ({dos.shape[1]} bins) "
-          f"-> {args.output}")
+    import jax
+
+    if jax.process_index() == 0:
+        np.savez_compressed(
+            args.output, dos=dos,
+            sample_id=np.asarray([s.sample_id for s in samples]),
+            mp_id=np.asarray([s.mp_id for s in samples]))
+        print(f"predicted {dos.shape[0]} spectra ({dos.shape[1]} bins) "
+              f"-> {args.output}")
     return dos
 
 

@@ -46,7 +46,7 @@ def build_server(argv=None):
                         "layout); --batch_size must divide by the device "
                         "count; checkpoint serving only")
     p.add_argument("--checkpoint_state", choices=["best", "latest"],
-                   default="best",
+                   default=None,
                    help="'best' (default) serves the best-validation model "
                         "(<dir>/best, falling back to latest when absent); "
                         "'latest' serves the newest cadence checkpoint")
@@ -64,13 +64,29 @@ def build_server(argv=None):
 
     maybe_init_multihost(args.data_parallel)
 
+    import jax
+
     from dostransformer_tpu.serve import ExportedPredictor, Predictor
     from dostransformer_tpu.serve_http import make_server
 
+    if jax.process_count() > 1:
+        # HTTP serving is request-driven: a request landing on one process
+        # would enter the collective predict/fetch alone while its peers
+        # idle in serve_forever — a distributed deadlock, not an error.
+        # Pod-sharded MODEL hosting needs a request broadcaster in front;
+        # refuse loudly rather than hang on the first request.
+        p.error("multi-process HTTP serving is not supported: requests "
+                "would deadlock the pod's collectives. Serve single-process "
+                "(one server per host, a load balancer in front), or use "
+                "mesh sharding within one process (--data_parallel on a "
+                "single-host slice)")
     if args.from_exported:
         if args.data_parallel:
             p.error("--data_parallel serves from a checkpoint; exported "
                     "artifacts are single-device functions")
+        if args.checkpoint_state:
+            p.error("--checkpoint_state picks which checkpoint to load; an "
+                    "exported artifact has its params baked in")
         predictor = ExportedPredictor(args.from_exported)
     else:
         if not (args.task and args.checkpoint_dir and args.example):
@@ -89,7 +105,7 @@ def build_server(argv=None):
             embedder=args.embedder, layers=args.layers,
             t_layers=args.transformer, hidden=args.hidden,
             batch_size=args.batch_size, mesh=mesh,
-            prefer=args.checkpoint_state)
+            prefer=args.checkpoint_state or "best")
     return make_server(predictor, host=args.host, port=args.port,
                        coalesce_ms=args.coalesce_ms)
 

@@ -137,3 +137,21 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address, num_processes,
                                process_id, **kwargs)
     return True
+
+
+def fetch_global(tree):
+    """Fetch a pytree of device arrays to host NumPy, correct on pods.
+
+    Gates on the arrays' actual addressability, not jax.process_count():
+    a fully-addressable tree (single process, or replicated/meshless outputs
+    in a multi-process job) fetches with plain np.asarray — calling the
+    allgather collective there would CONCATENATE the per-process copies and
+    deadlock single-caller paths. Only arrays whose shards span processes
+    take the process_allgather path (which every process must enter)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+           for l in leaves):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

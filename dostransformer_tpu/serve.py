@@ -71,15 +71,13 @@ def _assemble(pending, keeps, batch_size: int) -> np.ndarray:
     paid once per call, never per batch."""
     dev = (jax.numpy.concatenate(pending, axis=0) if len(pending) > 1
            else pending[0])
-    if jax.process_count() > 1:
-        # pod serving: the outputs are sharded over 'data' and the shards
-        # span processes — np.asarray on non-addressable shards raises;
-        # allgather reassembles the global result on every process
-        from jax.experimental import multihost_utils
+    # ONE host transfer; on a pod (output shards span processes — plain
+    # np.asarray would raise) fetch_global allgathers instead. The gate is
+    # the array's own addressability, so meshless/exported predictors in a
+    # multi-process job keep the plain local fetch.
+    from dostransformer_tpu.parallel.mesh import fetch_global
 
-        flat = multihost_utils.process_allgather(dev, tiled=True)
-    else:
-        flat = np.asarray(dev)                      # ONE host transfer
+    flat = fetch_global(dev)
     outs = [flat[i * batch_size: i * batch_size + batch_size][keep]
             for i, keep in enumerate(keeps)]
     return np.concatenate(outs, axis=0)

@@ -47,7 +47,8 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state: TrainState,
-             tracker: Optional[BestTracker] = None, wait: bool = False):
+             tracker: Optional[BestTracker] = None, wait: bool = False,
+             epoch_meta: Optional[int] = None):
         """Checkpoint (TrainState, epoch, tracker) at ``epoch``.
 
         ASYNC by default: orbax serializes to a temp dir on background
@@ -56,8 +57,14 @@ class CheckpointManager:
         save cost overlaps the next epochs' device compute. Orbax itself
         serializes back-to-back saves. ``wait=True`` (or
         :meth:`wait_until_finished` — the CLI calls it at training end)
-        blocks until durable."""
-        meta = {"epoch": epoch}
+        blocks until durable.
+
+        Orbax refuses saves at a step <= the latest existing step, so the
+        step must increase monotonically; when the logical epoch does not
+        (the best/ manager resaves after a resume restored an older state),
+        pass a monotonic ordinal as ``epoch`` and the true epoch as
+        ``epoch_meta`` — :meth:`restore` reports the meta value."""
+        meta = {"epoch": epoch if epoch_meta is None else epoch_meta}
         if tracker is not None:
             meta["tracker"] = {
                 "es": tracker.es, "eval_every": tracker.eval_every,

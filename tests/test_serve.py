@@ -636,3 +636,40 @@ class TestBestCheckpointServing:
         np.testing.assert_allclose(
             leaf(p_latest), np.asarray(jax.tree.leaves(
                 perturbed.params)[0]), rtol=0, atol=0)
+
+
+class TestBestCheckpointOrdinal:
+    def test_resumed_best_save_at_older_epoch_is_not_dropped(self, tmp_path):
+        """Orbax silently refuses saves at non-increasing steps, so best/
+        saves use a monotonic ordinal with the true epoch in the meta: after
+        a resume restores a state OLDER than the recorded best, a new best
+        found at epoch <= the old best's epoch must still overwrite best/."""
+        import jax
+
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.data.synthetic import synthetic_phdos_samples
+        from dostransformer_tpu.models import DOSTransformerPhDOS
+        from dostransformer_tpu.train.checkpoint import CheckpointManager
+        from dostransformer_tpu.train.trainer import Trainer
+
+        samples = synthetic_phdos_samples(4, seed=2)
+        model = DOSTransformerPhDOS(layers=1, t_layers=1, hidden=16)
+        tr = Trainer(model, clamp_targets=False, eval_clamp=False,
+                     donate=False)
+        template = tr.init_state(collate([samples[0]]))
+
+        mgr = CheckpointManager(str(tmp_path / "best"), max_to_keep=1)
+        # original run: best found at epoch 7 (ordinal 0)
+        mgr.save(0, template, epoch_meta=7, wait=True)
+        # resumed run diverges and finds its best at epoch 5 — a LOWER
+        # epoch; with epoch-as-step orbax would silently no-op this save
+        later = template.replace(
+            params=jax.tree.map(lambda x: x + 1.0, template.params))
+        ordinal = mgr.latest_epoch() + 1
+        mgr.save(ordinal, later, epoch_meta=5, wait=True)
+
+        state, epoch, _ = mgr.restore(template)
+        assert epoch == 5  # the meta epoch, not the ordinal
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(state.params)[0]),
+            np.asarray(jax.tree.leaves(later.params)[0]))
