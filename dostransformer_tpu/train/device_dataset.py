@@ -77,13 +77,3 @@ class DeviceDataset(struct.PyTreeNode):
 
     def nbytes(self) -> int:
         return sum(x.nbytes for x in jax.tree.leaves(self.data))
-
-
-def epoch_batches(dataset: DeviceDataset, perm: jax.Array) -> GraphBatch:
-    """Device-side gather of one epoch's batches: perm [S*B] -> [S, B, ...].
-    Runs inside jit; drop-last semantics (same as shuffled GraphLoader with
-    drop_last)."""
-    s = dataset.steps_per_epoch
-    b = dataset.batch_size
-    idx = perm[: s * b].reshape(s, b)
-    return jax.tree.map(lambda x: x[idx], dataset.data)

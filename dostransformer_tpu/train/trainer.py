@@ -35,7 +35,18 @@ from dostransformer_tpu.train.metrics import eval_metrics
 
 def stack_batches(batches) -> GraphBatch:
     """Stack same-shape GraphBatches into one [S, B, ...] pytree for
-    scan-based epochs."""
+    scan-based epochs.
+
+    Host (NumPy) batches stack on the HOST: the caller (train_epoch /
+    eval_epoch) uploads the stack once, straight into its target sharding —
+    stacking with jnp here would first stage the whole epoch on device 0,
+    the opposite of the pod memory layout. Device-resident batches stack
+    on device (np.stack on them would round-trip through the host)."""
+    import numpy as np
+
+    leaves = jax.tree.leaves(batches[0])
+    if all(isinstance(l, np.ndarray) for l in leaves):
+        return jax.tree.map(lambda *xs: np.stack(xs), *batches)
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
@@ -280,6 +291,20 @@ class Trainer:
             return jax.random.permutation(
                 sub, steps * batch_size).reshape(steps, batch_size)
 
+        # Under a dp x tp mesh the device dataset is REPLICATED (only pure
+        # DP shards it), so the gathered batch must be constrained to
+        # P('data') explicitly: XLA's propagation would otherwise keep it
+        # replicated and every device would compute the FULL global batch
+        # through all non-FFN layers — a silent data_axis-times compute
+        # waste on the default training path.
+        tp_mesh = self.mesh if self._has_tp else None
+
+        def _constrain_batch(batch):
+            if tp_mesh is None:
+                return batch
+            return jax.lax.with_sharding_constraint(
+                batch, NamedSharding(tp_mesh, P("data")))
+
         def train_epoch_device(state: TrainState, data, rng, *,
                                steps: int, batch_size: int):
             """Epoch over a device-resident dataset, ONE dispatch: the rng
@@ -290,7 +315,7 @@ class Trainer:
             rng = jax.random.split(rng)[0]
 
             def body(st, idx):
-                batch = jax.tree.map(lambda x: x[idx], data)
+                batch = _constrain_batch(jax.tree.map(lambda x: x[idx], data))
                 st, metrics = train_step(st, batch)
                 return st, metrics["loss"]
 
@@ -311,7 +336,7 @@ class Trainer:
             perm = perms.reshape(n_epochs * steps, batch_size)
 
             def body(st, idx):
-                batch = jax.tree.map(lambda x: x[idx], data)
+                batch = _constrain_batch(jax.tree.map(lambda x: x[idx], data))
                 st, metrics = train_step(st, batch)
                 return st, metrics["loss"]
 
@@ -344,6 +369,10 @@ class Trainer:
 
             def dp_train_step(state: TrainState, batch: GraphBatch):
                 rng, sub = jax.random.split(state.rng)
+                # decorrelate dropout across shards: the replicated rng
+                # would otherwise apply the IDENTICAL mask to every
+                # device's local rows of the global batch
+                sub = jax.random.fold_in(sub, jax.lax.axis_index(axis))
                 (local, (sg, ss, cnt)), grads = jax.value_and_grad(
                     local_loss_parts, has_aux=True)(state.params, batch, sub)
                 denom = jnp.maximum(jax.lax.psum(cnt, axis), 1.0)
@@ -492,8 +521,8 @@ class Trainer:
 
     def _check_dp_batch(self, batch_size: int):
         """Under DP the shard_map splits the batch axis evenly; a misdivisible
-        batch would silently truncate in _local_perm_block. Fail loudly
-        instead (VERDICT r2 weak #2)."""
+        batch would silently truncate in _shard_perm's local blocks. Fail
+        loudly instead (VERDICT r2 weak #2)."""
         if self.mesh is not None and "data" in self.mesh.axis_names:
             n = self.mesh.shape["data"]
             if batch_size % n != 0:
@@ -506,7 +535,10 @@ class Trainer:
     def init_state(self, example_batch: GraphBatch, seed: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(seed)
         params = self.model.init(rng, example_batch)["params"]
-        state = TrainState.create(params, self.tx, rng)
+        # the stored rng seeds the DROPOUT stream; fold it so the stream is
+        # not the already-spent init key (param init itself is unchanged —
+        # golden/convergence pins depend on it)
+        state = TrainState.create(params, self.tx, jax.random.fold_in(rng, 1))
         if self.mesh is None:
             return state
         if not self._has_tp:
@@ -560,6 +592,7 @@ class Trainer:
         return self._train_epoch(state, batches)
 
     def eval_step(self, params, batch: GraphBatch):
+        self._check_dp_batch(int(batch.graph_mask.shape[0]))
         return self._eval_step(params, self.shard_batch(batch))
 
     def eval_epoch(self, params, batches):
@@ -569,6 +602,7 @@ class Trainer:
         MetricAccumulator/EvalArtifacts as with eval_step outputs."""
         if isinstance(batches, (list, tuple)):
             batches = stack_batches(batches)
+        self._check_dp_batch(int(batches.graph_mask.shape[1]))
         if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(None, "data"))
             batches = jax.tree.map(lambda x: jax.device_put(x, sh), batches)

@@ -750,3 +750,39 @@ class TestDistributed:
         sharded = tr.shard_batch(batch)
         spec = sharded.nodes.sharding.spec
         assert spec == jax.sharding.PartitionSpec("data")
+
+
+class TestDeviceEpochsUnderTP:
+    def test_device_epochs_under_dp_tp_mesh(self):
+        """train_epochs_device under the 2-D dp x tp mesh: the gathered
+        batches are constrained to P('data') inside the scan (the dataset is
+        replicated under TP, and without the constraint every device would
+        compute the FULL global batch); the loss trajectory must match the
+        single-device device-dataset path."""
+        import jax.numpy as jnp
+
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import DeviceDataset
+
+        samples = synthetic_edos_samples(8, seed=7)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False, use_fused_mp=False)
+        base = jax.random.PRNGKey(11)
+        keys = jnp.stack([jax.random.fold_in(base, e) for e in range(2)])
+
+        tr1 = Trainer(model, donate=False)
+        dds1 = DeviceDataset.from_samples(samples, batch_size=4)
+        s1 = tr1.init_state(collate(samples[:4]), seed=0)
+        s1, losses1 = tr1.train_epochs_device(s1, dds1, keys)
+
+        mesh = make_mesh(shape=(2, 4), axes=("data", "model"))
+        tr_tp = Trainer(model, mesh=mesh, donate=False)
+        dds_tp = DeviceDataset.from_samples(
+            samples, batch_size=4, sharding=tr_tp.dataset_sharding())
+        s_tp = tr_tp.init_state(collate(samples[:4]), seed=0)
+        fc1 = s_tp.params["transformer"]["layer0"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        s_tp, losses_tp = tr_tp.train_epochs_device(s_tp, dds_tp, keys)
+
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses_tp), rtol=2e-4)
