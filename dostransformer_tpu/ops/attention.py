@@ -303,6 +303,29 @@ def _use_pallas_bwd(b: int) -> bool:
     return b >= 64
 
 
+def _softmax_attn_bwd(q, k, v, bias, g, scale):
+    """Recompute-form backward of softmax(qk^T*scale + bias)v, shared by the
+    XLA-fallback VJP and the LN-fused VJP.
+
+    Scores and dp ACCUMULATE in at least f32 (preferred_element_type): the
+    forward policy (line ~51) is bf16 MXU passes with f32 accumulation, and
+    a bf16-ROUNDED score feeding exp() amplifies the rounding into 0.5-1%
+    gradient error (measured) — at f32 inputs the promotion is the default
+    and the math below is bit-identical to the pre-helper code."""
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    s = (jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=acc)
+         * scale + bias[:, None, :])
+    p32 = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    p = p32.astype(q.dtype)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g)
+    dp = jnp.einsum("bqd,bkd->bqk", g, v, preferred_element_type=acc)
+    ds = (p32 * (dp - jnp.sum(dp * p32, axis=-1,
+                              keepdims=True))).astype(q.dtype)
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    return dq, dk, dv
+
+
 def _fused_bwd(res, g):
     if _use_pallas_bwd(g.shape[0]):
         # res holds the fwd's PADDED kernel operands (see _fused_fwd)
@@ -311,14 +334,7 @@ def _fused_bwd(res, g):
         return dq, dk, dv, None
     q, k, v, bias = res
     d = q.shape[-1]
-    scale = d ** -0.5
-    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g)
-    dp = jnp.einsum("bqd,bkd->bqk", g, v)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    dq, dk, dv = _softmax_attn_bwd(q, k, v, bias, g, d ** -0.5)
     return dq, dk, dv, None
 
 
@@ -372,25 +388,17 @@ def _fused_attention_ln_fwd(x, x_k, x_v, ln_scale, ln_bias, bias,
     b, lq, d = x.shape
     lk = x_k.shape[1]
     scale = d ** -0.5
-    precision = (jax.lax.Precision.HIGHEST
-                 if os.environ.get("DOSTPU_ATTN_HIGHEST") == "1"
-                 else jax.lax.Precision.DEFAULT)
-
-    lq_pad = _round_up(lq, 8)
-    tq = min(q_tile, lq_pad)
-    lq_pad = _round_up(lq_pad, tq)
-    lk_pad = _round_up(lk, 128)
-    d_pad = _round_up(d, 128)
-
-    xb = jnp.zeros((b, lq_pad, d_pad), x.dtype).at[:, :lq, :d].set(x)
-    kb = jnp.zeros((b, lk_pad, d_pad), x_k.dtype).at[:, :lk, :d].set(x_k)
-    vb = jnp.zeros((b, lk_pad, d_pad), x_v.dtype).at[:, :lk, :d].set(x_v)
+    # same precision policy and padding/alignment rules as the main kernel
+    # (shared helpers — a policy change must reach this opt-in variant too)
+    precision = _attn_precision()
+    xb, kb, vb, biasb, tq = _pad_operands(x, x_k, x_v, bias, q_tile)
+    _, lq_pad, d_pad = xb.shape
+    lk_pad = kb.shape[1]
     lns = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(
         ln_scale.astype(jnp.float32))
     lnb = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(
         ln_bias.astype(jnp.float32))
     cm = jnp.zeros((1, d_pad), jnp.float32).at[0, :d].set(1.0)
-    biasb = jnp.full((b, 1, lk_pad), NEG_INF, jnp.float32).at[:, 0, :lk].set(bias)
 
     grid = (b, lq_pad // tq)
     out = pl.pallas_call(
@@ -452,13 +460,7 @@ def _fused_ln_vjp_bwd(res, g):
     q, qhat, qrstd = _ln_apply(x, ln_scale, ln_bias)
     k, khat, krstd = _ln_apply(x_k, ln_scale, ln_bias)
     v, vhat, vrstd = _ln_apply(x_v, ln_scale, ln_bias)
-    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias[:, None, :]
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g)
-    dp = jnp.einsum("bqd,bkd->bqk", g, v)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q) * scale
+    dq, dk, dv = _softmax_attn_bwd(q, k, v, bias, g, scale)
     dx, s1, b1 = _ln_bwd(dq, qhat, qrstd, ln_scale, x.dtype)
     dxk, s2, b2 = _ln_bwd(dk, khat, krstd, ln_scale, x_k.dtype)
     dxv, s3, b3 = _ln_bwd(dv, vhat, vrstd, ln_scale, x_v.dtype)

@@ -271,12 +271,16 @@ def _fused_fwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, e_pad, h), src_proj.dtype),
-            jax.ShapeDtypeStruct((b, a_pad, h), src_proj.dtype),
+            # agg accumulates ACROSS edge tiles (`agg_ref[0] +=` above): the
+            # buffer must be f32 so a multi-tile grid does not round the
+            # partial sums to bf16 between tiles — exact aggregation sums
+            # are the contract (ops/segment.py); cast once on the way out
+            jax.ShapeDtypeStruct((b, a_pad, h), jnp.float32),
         ],
         interpret=_interpret(),
     )(s, r, mk, sp, dp, ep, ln_scale[None], ln_bias[None], alpha[None, :1],
       w1, b1[None])
-    return eout[:, :e], agg[:, :a]
+    return eout[:, :e], agg[:, :a].astype(src_proj.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_e",))

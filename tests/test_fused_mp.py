@@ -147,3 +147,52 @@ class TestFusedMP:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(agg), np.asarray(a_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestMultiTileEdgeGrid:
+    """Force tile_e below E so the kernels run a MULTI-TILE edge grid — the
+    production shape for large crystals (E>1024) and wide hidden (m>=1024) —
+    exercising the e_idx==0 zeroing, the cross-tile agg/gsp/gdp
+    accumulation, and the whole-grid parameter-grad accumulation, none of
+    which a single-tile grid touches."""
+
+    def test_forward_multi_tile_matches_reference(self):
+        from dostransformer_tpu.ops.fused_mp import _fused_fwd_call
+
+        args = _inputs(seed=3)  # e=70; tile_e=32 -> 3 edge tiles
+        e_ref, a_ref = mp_edge_reference(*args)
+        e_out, agg = _fused_fwd_call(*args, tile_e=32)
+        np.testing.assert_allclose(np.asarray(e_out), np.asarray(e_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(agg), np.asarray(a_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_backward_multi_tile_matches_reference_vjp(self):
+        from dostransformer_tpu.ops.fused_mp import _fused_bwd_call
+
+        args = _inputs(seed=4)
+        diff_idx = (0, 1, 2, 6, 7, 8, 9, 10)
+
+        def ref(*diff_args):
+            full = list(args)
+            for k, i in enumerate(diff_idx):
+                full[i] = diff_args[k]
+            return mp_edge_reference(*full)
+
+        diff_args = tuple(args[i] for i in diff_idx)
+        (e_ref, a_ref), vjp = jax.vjp(ref, *diff_args)
+        rng = np.random.RandomState(9)
+        g_eout = jnp.array(rng.randn(*e_ref.shape).astype(np.float32))
+        g_agg = jnp.array(rng.randn(*a_ref.shape).astype(np.float32))
+        g_ref = vjp((g_eout, g_agg))
+
+        (src_proj, dst_proj, edge_proj, senders, receivers, edge_mask,
+         ln_scale, ln_bias, alpha, w1, b1) = args
+        g_fus = _fused_bwd_call(src_proj, dst_proj, edge_proj, senders,
+                                receivers, edge_mask, ln_scale, ln_bias,
+                                alpha, w1, g_eout, g_agg, tile_e=32)
+        names = ("src_proj", "dst_proj", "edge_proj", "ln_scale", "ln_bias",
+                 "alpha", "w1", "b1")
+        for n, a_, b_ in zip(names, g_fus, g_ref):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=2e-4, atol=1e-4, err_msg=n)
