@@ -145,13 +145,22 @@ def collate(
     (serve.Predictor's chunked scan) instead of uploading per batch.
     """
     b_real = len(samples)
-    b = num_graphs or b_real
-    assert b >= b_real
+    # explicit None checks: a pin of 0 is an invalid value to reject below,
+    # not a falsy "derive it for me"
+    b = b_real if num_graphs is None else num_graphs
+    if b < b_real:
+        # input validation like the a/eg checks below: a real message, never
+        # stripped under python -O (serving chunk bugs land here)
+        raise ValueError(
+            f"{b_real} samples but the pinned num_graphs is {b} — the "
+            f"request exceeds the shape envelope")
 
     max_n = max(s.n_nodes for s in samples)
     max_e = max(s.n_edges for s in samples)
-    a = atoms_per_graph or (bucket_size(max_n) if use_buckets else max_n)
-    eg = edges_per_graph or (bucket_size(max(max_e, 1)) if use_buckets else max(max_e, 1))
+    a = (atoms_per_graph if atoms_per_graph is not None
+         else (bucket_size(max_n) if use_buckets else max_n))
+    eg = (edges_per_graph if edges_per_graph is not None
+          else (bucket_size(max(max_e, 1)) if use_buckets else max(max_e, 1)))
     # input validation, not an invariant (serving requests hit this with
     # crystals beyond a pinned shape envelope): raise with a real message,
     # and never strip under python -O
@@ -167,6 +176,26 @@ def collate(
     fx = samples[0].x.shape[1]
     bins = samples[0].y.shape[-1]
     s0 = samples[0]
+    # the batch schema (which optional features exist, feature widths) is
+    # taken from samples[0]; a mixed request (serving accepts arbitrary
+    # sample lists) must fail as a ValueError -> HTTP 400 here, not as an
+    # opaque crash deep in packing or a silently dropped feature
+    for i, s in enumerate(samples[1:], 1):
+        for name in ("edge_attr", "edge_vec", "edge_shift", "z", "glob"):
+            if (getattr(s, name) is None) != (getattr(s0, name) is None):
+                have = "has" if getattr(s0, name) is not None else "lacks"
+                raise ValueError(
+                    f"inconsistent batch: sample 0 {have} {name} but "
+                    f"sample {i} does not match — all samples in one "
+                    f"request must share the same feature schema")
+        if s.x.shape[1] != fx:
+            raise ValueError(
+                f"inconsistent batch: sample 0 has {fx}-d node features "
+                f"but sample {i} has {s.x.shape[1]}-d")
+        if s.y.shape[-1] != bins:
+            raise ValueError(
+                f"inconsistent batch: sample 0 has {bins} energy bins "
+                f"but sample {i} has {s.y.shape[-1]}")
 
     # Ragged-array packing. The C++ packers (dostpu_native.cc — the
     # PyG-DataLoader-collation equivalent) are available behind
@@ -213,24 +242,22 @@ def collate(
         if _batch_z(s0):
             node_z = native.pack_f32([s.z for s in samples], a,
                                      s0.z.shape[1], with_mask=False)[0]
+    def _pack_loop(arrays, r):
+        out = np.zeros((b, r) + arrays[0].shape[1:], np.float32)
+        for g, arr in enumerate(arrays):
+            out[g, : arr.shape[0]] = arr
+        return out
+
     if nodes is None:
-        nodes = np.zeros((b, a, fx), np.float32)
+        nodes = _pack_loop([s.x for s in samples], a)
         node_mask = np.zeros((b, a), np.float32)
         node_mask[:b_real] = (np.arange(a)[None] < n_rows[:, None])
-        for g, s in enumerate(samples):
-            nodes[g, : s.n_nodes] = s.x
     if senders is None:
         senders = np.zeros((b, eg), np.int32)
         receivers = np.zeros((b, eg), np.int32)
         for g, s in enumerate(samples):
             senders[g, : s.n_edges] = s.edge_index[0]
             receivers[g, : s.n_edges] = s.edge_index[1]
-
-    def _pack_loop(arrays, r):
-        out = np.zeros((b, r) + arrays[0].shape[1:], np.float32)
-        for g, arr in enumerate(arrays):
-            out[g, : arr.shape[0]] = arr
-        return out
 
     if edges is None and s0.edge_attr is not None:
         edges = _pack_loop([s.edge_attr for s in samples], eg)

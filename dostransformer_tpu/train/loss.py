@@ -1,9 +1,13 @@
 """Training loss.
 
 Reference semantics (main_eDOS.py:111-123; main_phDOS.py:109-114):
-  * targets are clamped at 0 from below during training (y = where(y<0, 0, y));
-    predictions are NOT clamped at train time (they are at eval —
-    utils.py:74-76 — the train/eval clamp asymmetry is normative);
+  * eDOS ONLY: targets are clamped at 0 from below during training
+    (y = where(y<0, 0, y), main_eDOS.py:111-112); predictions are NOT
+    clamped at train time (they are at eval — utils.py:74-76 — the
+    train/eval clamp asymmetry is normative). The phDOS loop applies its
+    criterion directly with NO target clamp (main_phDOS.py:109-114) — the
+    CLI passes clamp_targets=False for phDOS; the clamp would be a no-op
+    there only because phonon DOS targets are nonnegative;
   * per-sample MSE over the energy bins -> sqrt -> mean over the batch, for
     both heads: loss = rmse_global + beta * rmse_system.
 
@@ -24,10 +28,17 @@ def clamp_negative(y: jax.Array) -> jax.Array:
     return jnp.where(y < 0, 0.0, y)
 
 
-def per_sample_rmse(pred: jax.Array, y: jax.Array, eps: float = 0.0) -> jax.Array:
-    """sqrt(mean_bins((y - pred)^2)) per sample -> [B]."""
+def per_sample_rmse(pred: jax.Array, y: jax.Array) -> jax.Array:
+    """sqrt(mean_bins((y - pred)^2)) per sample -> [B].
+
+    Safe-sqrt form: sqrt'(0) is infinite, and a row whose MSE is float-exact
+    0 (e.g. a padded dummy graph whose output happens to hit the zero
+    target) would turn the masked loss's `0 * inf` into NaN and poison every
+    parameter gradient. The where-pair keeps VALUES bit-identical
+    (sqrt(mse) when mse > 0, 0 at 0) while the gradient at 0 becomes 0."""
     mse = jnp.mean((y - pred) ** 2, axis=-1)
-    return jnp.sqrt(mse + eps)
+    safe = jnp.where(mse > 0, mse, 1.0)
+    return jnp.where(mse > 0, jnp.sqrt(safe), 0.0)
 
 
 def dos_loss_parts(

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dostransformer_tpu.train.loss import clamp_negative
+
 
 def r2_variance_weighted(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     """sklearn r2_score(y.flatten(), p.flatten(), 'variance_weighted')
@@ -47,8 +49,8 @@ def eval_metrics(
     clamp=False -> phDOS `test_phonon` semantics (no clamping)
     """
     if clamp:
-        y = jnp.where(y < 0, 0.0, y)
-        preds_system = jnp.where(preds_system < 0, 0.0, preds_system)
+        y = clamp_negative(y)
+        preds_system = clamp_negative(preds_system)
     mse = jnp.mean((y - preds_system) ** 2, axis=-1)   # [B]
     rmse = jnp.sqrt(mse)
     mae = jnp.mean(jnp.abs(preds_system - y), axis=-1)  # L1 over bins, [B]
@@ -88,5 +90,10 @@ class MetricAccumulator:
                                for yy, pp in zip(ys, ps))
 
     def result(self) -> dict:
-        n = max(self.n, 1)
-        return {k: v / n for k, v in self.sums.items()}
+        if self.n == 0:
+            # zero accumulated samples must not read as a PERFECT eval
+            # (rmse 0.0 would beat any real checkpoint in BestTracker)
+            raise ValueError(
+                "MetricAccumulator.result() with no real samples "
+                "accumulated — the eval split is empty or all-dummy")
+        return {k: v / self.n for k, v in self.sums.items()}
