@@ -44,6 +44,14 @@ import numpy as np
 from flax import struct
 
 
+class RequestError(ValueError):
+    """Invalid INPUT data: a serving request (or collate pin) that violates
+    the batch contract — empty, over the shape envelope, or schema-mixed.
+    Subclasses ValueError so library callers' handlers keep working; the
+    HTTP server maps RequestError to 400 and every other exception
+    (server faults: backend errors, artifact drift, OOM) to 5xx."""
+
+
 @dataclasses.dataclass
 class GraphSample:
     """One featurized crystal (host-side numpy). The analogue of a PyG Data
@@ -151,7 +159,7 @@ def collate(
     if b < b_real:
         # input validation like the a/eg checks below: a real message, never
         # stripped under python -O (serving chunk bugs land here)
-        raise ValueError(
+        raise RequestError(
             f"{b_real} samples but the pinned num_graphs is {b} — the "
             f"request exceeds the shape envelope")
 
@@ -165,11 +173,11 @@ def collate(
     # crystals beyond a pinned shape envelope): raise with a real message,
     # and never strip under python -O
     if a < max_n:
-        raise ValueError(
+        raise RequestError(
             f"sample has {max_n} atoms but the pinned atoms_per_graph "
             f"bucket is {a} — the request exceeds the shape envelope")
     if eg < max_e:
-        raise ValueError(
+        raise RequestError(
             f"sample has {max_e} edges but the pinned edges_per_graph "
             f"bucket is {eg} — the request exceeds the shape envelope")
 
@@ -184,16 +192,16 @@ def collate(
         for name in ("edge_attr", "edge_vec", "edge_shift", "z", "glob"):
             if (getattr(s, name) is None) != (getattr(s0, name) is None):
                 have = "has" if getattr(s0, name) is not None else "lacks"
-                raise ValueError(
+                raise RequestError(
                     f"inconsistent batch: sample 0 {have} {name} but "
                     f"sample {i} does not match — all samples in one "
                     f"request must share the same feature schema")
         if s.x.shape[1] != fx:
-            raise ValueError(
+            raise RequestError(
                 f"inconsistent batch: sample 0 has {fx}-d node features "
                 f"but sample {i} has {s.x.shape[1]}-d")
         if s.y.shape[-1] != bins:
-            raise ValueError(
+            raise RequestError(
                 f"inconsistent batch: sample 0 has {bins} energy bins "
                 f"but sample {i} has {s.y.shape[-1]}")
 

@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 from dostransformer_tpu.data.datasets import GraphLoader
-from dostransformer_tpu.data.graph import GraphSample
+from dostransformer_tpu.data.graph import GraphSample, RequestError
 from dostransformer_tpu.models.registry import build_model
 
 
@@ -127,9 +127,13 @@ class Predictor:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            assert batch_size % mesh.devices.size == 0, (
-                f"batch_size {batch_size} must divide over the "
-                f"{mesh.devices.size}-device mesh")
+            if batch_size % mesh.devices.size != 0:
+                # startup validation must survive python -O (an assert
+                # would strip and the first request would die in device_put
+                # with an opaque XLA sharding error)
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the "
+                    f"{mesh.devices.size}-device mesh")
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._param_sharding = NamedSharding(mesh, P())
             self.params = jax.tree.map(
@@ -248,7 +252,7 @@ class Predictor:
         round trip is paid once per group, never per batch."""
         samples = list(samples)
         if not samples:
-            raise ValueError("empty request: no samples to predict")
+            raise RequestError("empty request: no samples to predict")
         if bucketed:
             from dostransformer_tpu.data.graph import bucket_size
 
@@ -308,6 +312,12 @@ class Predictor:
 
         ``example`` fixes the padding buckets (and must cover the serving
         shape envelope — collation of larger crystals raises ValueError).
+
+        Known size trade-off: forward.stablehlo and forward_chunk.stablehlo
+        each bake the full parameter set as constants (~2x the weights per
+        artifact) — jax.export serializes one function per module and the
+        chunk function is what makes small-batch serving 5x (BASELINE.md).
+        Accepted: artifacts are tens of MB and written once per deploy.
         Exporting a mesh-sharded predictor works: the artifact is retraced
         single-device from host copies of the params.
         ``platforms`` optionally cross-exports (e.g. ``("cpu", "tpu")``);
@@ -423,7 +433,7 @@ class ExportedPredictor:
         exported scan function; everything else dispatches per batch."""
         samples = list(samples)
         if not samples:
-            raise ValueError("empty request: no samples to predict")
+            raise RequestError("empty request: no samples to predict")
         loader = GraphLoader(samples, batch_size=self.batch_size,
                              atoms_per_graph=self.meta["atoms_per_graph"],
                              edges_per_graph=self.meta["edges_per_graph"],

@@ -33,6 +33,8 @@ from typing import Sequence
 
 import numpy as np
 
+from dostransformer_tpu.data.graph import RequestError
+
 
 class CoalescingBatcher:
     """Thread-safe predict() that coalesces concurrent requests.
@@ -66,7 +68,7 @@ class CoalescingBatcher:
         if not samples:
             # same message/path as Predictor.predict — never coalesce an
             # empty list into a neighbor's batch
-            raise ValueError("empty request: no samples to predict")
+            raise RequestError("empty request: no samples to predict")
         fut: Future = Future()
         with self._gate:
             if self._closed:
@@ -109,8 +111,8 @@ class CoalescingBatcher:
         return batch
 
     def _dispatch(self, batch) -> None:
-        all_samples = [s for samples, _ in batch for s in samples]
         try:
+            all_samples = [s for samples, _ in batch for s in samples]
             out = self.predictor.predict(all_samples)
         except Exception as e:
             if len(batch) == 1:
@@ -125,7 +127,11 @@ class CoalescingBatcher:
             return
         row = 0
         for samples, fut in batch:
-            fut.set_result(out[row: row + len(samples)])
+            # copy, not a view: per-request results must not share the
+            # coalesced buffer (a client mutating its rows in place would
+            # corrupt its neighbors', and one held slice would pin the
+            # whole window's memory)
+            fut.set_result(out[row: row + len(samples)].copy())
             row += len(samples)
 
     def _run(self) -> None:
@@ -133,4 +139,15 @@ class CoalescingBatcher:
             item = self._q.get()
             if item is None:
                 return
-            self._dispatch(self._collect(item))
+            batch = [item]
+            try:
+                batch = self._collect(item)
+                self._dispatch(batch)
+            except BaseException as e:  # noqa: B036 — the worker must
+                # survive ANYTHING (MemoryError on a huge window, a buggy
+                # wrapped predictor, ...): a dead worker would silently
+                # hang every queued and future request forever, since
+                # predict() keeps enqueueing while _closed is False
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)

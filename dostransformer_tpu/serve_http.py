@@ -29,22 +29,24 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from dostransformer_tpu.data.graph import RequestError
 from dostransformer_tpu.data.io import load_samples
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
-                coalesce_ms: float = 0.0) -> ThreadingHTTPServer:
+                coalesce_ms: float = 0.0,
+                max_body_mb: int = 256) -> ThreadingHTTPServer:
     """HTTP server around a Predictor / ExportedPredictor. ``port=0`` binds
     an ephemeral port (read it back from ``server.server_address``).
     ``coalesce_ms > 0`` micro-batches concurrent requests into single
     device dispatches (serve_batch.CoalescingBatcher); the batcher is
-    stopped by ``server.server_close()``."""
+    stopped by ``server.server_close()``. ``max_body_mb`` bounds a request
+    body — each connection gets its own thread, so an unbounded (or
+    negative) Content-Length would let one client allocate arbitrary
+    memory (or pin a thread on a never-ending read)."""
     device_lock = threading.Lock()
+    max_body = max_body_mb * (1 << 20)
     batcher = None
-    if coalesce_ms and coalesce_ms > 0:
-        from dostransformer_tpu.serve_batch import CoalescingBatcher
-
-        batcher = CoalescingBatcher(predictor, max_delay_ms=coalesce_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; callers log themselves
@@ -74,6 +76,18 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if length < 0:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if length > max_body:
+                self._send_json(413, {
+                    "error": f"request body {length} bytes exceeds the "
+                             f"{max_body}-byte limit"})
+                return
+            try:
                 samples = load_samples(io.BytesIO(self.rfile.read(length)))
             except Exception as e:  # malformed payload -> client error
                 self._send_json(400, {"error": f"bad request body: {e}"})
@@ -84,10 +98,13 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 else:
                     with device_lock:
                         dos = predictor.predict(samples)
-            except ValueError as e:
-                # client-side input errors (empty request, shape-envelope
-                # or featurization mismatch — the serving path raises these
-                # as ValueError with actionable messages)
+            except RequestError as e:
+                # client-side input errors ONLY (empty request,
+                # shape-envelope or schema mismatch — the serving path
+                # raises these as RequestError with actionable messages).
+                # Other ValueErrors (e.g. a drifted exported artifact's
+                # shape mismatch) are SERVER faults and fall through to
+                # the 500 below so monitoring/retries see the outage.
                 self._send_json(400, {"error": str(e)})
                 return
             except Exception as e:
@@ -109,4 +126,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
                 batcher.close()
             super().server_close()
 
-    return Server((host, port), Handler)
+    server = Server((host, port), Handler)
+    # start the batcher worker only AFTER the socket bound: a bind failure
+    # (EADDRINUSE under a retry loop) must not leak a worker thread per
+    # attempt. Handlers read `batcher` from the closure at request time.
+    if coalesce_ms and coalesce_ms > 0:
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        batcher = CoalescingBatcher(predictor, max_delay_ms=coalesce_ms)
+    return server

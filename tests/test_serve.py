@@ -1,6 +1,7 @@
 """Serving-path tests: checkpoint -> Predictor -> batched inference."""
 
 import numpy as np
+import pytest
 
 from dostransformer_tpu.cli import main_phdos
 from dostransformer_tpu.data import synthetic_phdos_samples
@@ -348,7 +349,17 @@ class TestHTTPServer:
 
             class Picky(Boom):
                 def predict(self, samples):
-                    raise ValueError("request exceeds the shape envelope")
+                    from dostransformer_tpu.data.graph import RequestError
+
+                    raise RequestError("request exceeds the shape envelope")
+
+            class Drifted(Boom):
+                def predict(self, samples):
+                    # a PLAIN ValueError is a server fault (e.g. a drifted
+                    # exported artifact's shape mismatch raises ValueError
+                    # for every request) — it must be 500, never blamed on
+                    # the client as 400
+                    raise ValueError("Shape mismatch for args")
 
             # swap handler target is fixed at closure time; spin a second
             # server for the 400 case
@@ -368,6 +379,18 @@ class TestHTTPServer:
         finally:
             server2.shutdown()
             t2.join(timeout=10)
+
+        server3 = make_server(Drifted(), port=0)
+        port3 = server3.server_address[1]
+        t3 = threading.Thread(target=server3.serve_forever, daemon=True)
+        t3.start()
+        try:
+            status, data = self._post_npz(port3, "/predict",
+                                          req.read_bytes())
+            assert status == 500 and b"Shape mismatch" in data
+        finally:
+            server3.shutdown()
+            t3.join(timeout=10)
 
     def test_cli_builds_server_from_artifact(self, tmp_path):
         """main_serve --from_exported builds a working endpoint around an
@@ -673,3 +696,111 @@ class TestBestCheckpointOrdinal:
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(state.params)[0]),
             np.asarray(jax.tree.leaves(later.params)[0]))
+
+
+class TestHTTPBodyLimits:
+    def test_oversized_and_invalid_content_length(self):
+        """Unbounded Content-Length let one client allocate arbitrary memory
+        on a thread-per-connection server: over-limit bodies get 413 before
+        any read; a declared negative length gets 400 (read(-1) would block
+        the thread until the peer closes)."""
+        import http.client
+        import threading
+
+        from dostransformer_tpu.serve_http import make_server
+
+        class Never:
+            batch_size = 4
+
+            def predict(self, samples):  # pragma: no cover
+                raise AssertionError("must not be reached")
+
+        server = make_server(Never(), port=0, max_body_mb=1)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", str(2 << 20))  # 2 MB > 1 MB cap
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 413, resp.read()
+            conn.close()
+
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", "-5")
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, resp.read()
+            conn.close()
+        finally:
+            server.shutdown()
+            t.join(timeout=10)
+            server.server_close()
+
+
+class TestBatcherWorkerResilience:
+    def test_worker_survives_success_path_exceptions(self):
+        """An exception escaping the dispatch/split path (e.g. a wrapped
+        predictor returning a non-array) must fail THAT request and leave
+        the worker alive — a dead worker silently hangs every queued and
+        future request forever."""
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        class Flaky:
+            batch_size = 4
+
+            def __init__(self):
+                self.bad = True
+
+            def predict(self, samples):
+                if self.bad:
+                    return None  # slicing None raises OUTSIDE _dispatch's try
+                return np.ones((len(samples), 3))
+
+        flaky = Flaky()
+        batcher = CoalescingBatcher(flaky, max_delay_ms=1.0)
+        try:
+            with pytest.raises(TypeError):
+                batcher.predict([1, 2])
+            flaky.bad = False  # the SAME worker must still be serving
+            out = batcher.predict([1, 2, 3])
+            assert out.shape == (3, 3)
+        finally:
+            batcher.close()
+
+    def test_results_are_copies_not_views(self):
+        """Per-request results must not alias the coalesced output buffer:
+        a client mutating its rows in place would corrupt its neighbors'."""
+        import threading
+
+        from dostransformer_tpu.serve_batch import CoalescingBatcher
+
+        class Echo:
+            batch_size = 4
+
+            def predict(self, samples):
+                return np.asarray(samples, np.float64)[:, None] * np.ones(
+                    (1, 3))
+
+        batcher = CoalescingBatcher(Echo(), max_delay_ms=50.0)
+        try:
+            results = {}
+
+            def call(name, samples):
+                results[name] = batcher.predict(samples)
+
+            ts = [threading.Thread(target=call, args=("a", [1.0, 2.0])),
+                  threading.Thread(target=call, args=("b", [3.0]))]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(timeout=120)
+            assert results["a"].base is None and results["b"].base is None
+            results["a"][:] = -1.0  # must not touch b's rows
+            np.testing.assert_array_equal(results["b"],
+                                          np.full((1, 3), 3.0))
+        finally:
+            batcher.close()
