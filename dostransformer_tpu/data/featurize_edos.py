@@ -210,8 +210,12 @@ def _edos_pool_task(task):
             y_ft=np.asarray(dos_rec["densities_total_1_ft"]),
             glob=[rec["energy_per_atom"], rec["formation_energy_per_atom"]],
             crystal_system=rec["spacegroup"]["crystal_system"],
-            band_gap=rec.get("band_gap", 0.0),
-            efermi=dos_rec.get("efermi", 0.0),
+            # direct indexing, NOT .get(..., 0.0): the reference reads both
+            # inside its per-record try (mat2graph.py) so a record missing
+            # either key counts as an ERROR and is dropped — a fabricated
+            # 0.0 band gap would silently keep it with wrong metadata
+            band_gap=rec["band_gap"],
+            efermi=dos_rec["efermi"],
             mp_id=mp_id, sample_id=i, radius=_POOL_STATE["radius"])
     except Exception:
         return None

@@ -74,6 +74,11 @@ def _atoms_from_dict(d: dict):
     pbc = tuple(bool(b) for b in np.atleast_1d(d.get("pbc", True)).tolist())
     if len(pbc) == 1:
         pbc = pbc * 3
+    if len(pbc) != 3:
+        # must be exactly 3: the native neighbor kernel indexes pbc[0..2]
+        # (a shorter buffer would be read past), and a longer one is a
+        # malformed payload either way
+        raise ValueError(f"pbc must have 1 or 3 entries, got {len(pbc)}")
     return numbers, positions, cell, pbc
 
 

@@ -33,21 +33,29 @@ def _load() -> Optional[ctypes.CDLL]:
         # symbol binding stays INSIDE the try: a stale on-disk .so from an
         # older ABI (build() only compares mtimes) must degrade to the
         # NumPy fallback, not AttributeError out of every collate()
-        if lib.dostpu_abi_version() != 2:
+        if lib.dostpu_abi_version() != 3:
             return None
-        lib.dostpu_neighbor_list.restype = ctypes.c_int64
+        i64, f32p, i32p, i64p = (ctypes.c_int64,
+                                 ctypes.POINTER(ctypes.c_float),
+                                 ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.POINTER(ctypes.c_int64))
+        lib.dostpu_neighbor_list.restype = i64
         lib.dostpu_neighbor_list.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), i64,
             ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), i64, i64p, i64p, i64p,
         ]
-        lib.dostpu_pack_f32.restype = None
-        lib.dostpu_pack_i32.restype = None
-        lib.dostpu_pack_concat_f32.restype = None
-        lib.dostpu_pack_concat_i32.restype = None
-        lib.dostpu_pack_edges_i32.restype = None
+        # full argtypes everywhere: without them ctypes converts the int64_t
+        # size params through c_int (a 32-bit cap and an ABI accident)
+        lib.dostpu_pack_concat_f32.restype = i64
+        lib.dostpu_pack_concat_f32.argtypes = [
+            f32p, i64p, i64, i64, i64, f32p, f32p]
+        lib.dostpu_pack_concat_i32.restype = i64
+        lib.dostpu_pack_concat_i32.argtypes = [
+            i32p, i64p, i64, i64, i64, i32p]
+        lib.dostpu_pack_edges_i32.restype = i64
+        lib.dostpu_pack_edges_i32.argtypes = [
+            i32p, i64p, i64, i64, i32p, i32p]
     except Exception:
         return None
     _lib = lib
@@ -122,14 +130,20 @@ def pack_f32(arrays, r: int, c: int, with_mask: bool = True):
     concat = np.ascontiguousarray(
         np.concatenate(arrays, axis=0), np.float32)
     off = _offsets(arrays)
-    assert concat.shape[1] == c and np.diff(off).max(initial=0) <= r
+    if concat.shape[1] != c:
+        raise ValueError(f"arrays have {concat.shape[1]} columns, expected "
+                         f"{c}")
     out = np.zeros((b, r, c), np.float32)
     mask = np.zeros((b, r), np.float32) if with_mask else None
     fptr = ctypes.POINTER(ctypes.c_float)
-    lib.dostpu_pack_concat_f32(
+    status = lib.dostpu_pack_concat_f32(
         concat.ctypes.data_as(fptr), _iptr(off), b, r, c,
         out.ctypes.data_as(fptr),
         mask.ctypes.data_as(fptr) if with_mask else None)
+    if status != 0:
+        # the kernel checks BEFORE writing; asserts here would strip under
+        # python -O and a bad row count would memcpy past the buffer
+        raise ValueError(f"a sample exceeds the pinned {r} rows")
     return out, mask
 
 
@@ -141,11 +155,16 @@ def pack_i32(arrays, r: int, c: int):
     b = len(arrays)
     concat = np.ascontiguousarray(np.concatenate(arrays, axis=0), np.int32)
     off = _offsets(arrays)
-    assert concat.shape[1] == c and np.diff(off).max(initial=0) <= r
+    if concat.shape[1] != c:
+        raise ValueError(f"arrays have {concat.shape[1]} columns, expected "
+                         f"{c}")
     out = np.zeros((b, r, c), np.int32)
     iptr32 = ctypes.POINTER(ctypes.c_int32)
-    lib.dostpu_pack_concat_i32(concat.ctypes.data_as(iptr32), _iptr(off),
-                               b, r, c, out.ctypes.data_as(iptr32))
+    status = lib.dostpu_pack_concat_i32(
+        concat.ctypes.data_as(iptr32), _iptr(off), b, r, c,
+        out.ctypes.data_as(iptr32))
+    if status != 0:
+        raise ValueError(f"a sample exceeds the pinned {r} rows")
     return out
 
 
@@ -162,11 +181,12 @@ def pack_edges(edge_indices, r: int):
     views = [np.asarray(ei).T for ei in edge_indices]
     concat = np.ascontiguousarray(np.concatenate(views, axis=0), np.int32)
     off = _offsets(views)
-    assert np.diff(off).max(initial=0) <= r
     senders = np.zeros((b, r), np.int32)
     receivers = np.zeros((b, r), np.int32)
     iptr32 = ctypes.POINTER(ctypes.c_int32)
-    lib.dostpu_pack_edges_i32(concat.ctypes.data_as(iptr32), _iptr(off), b, r,
-                              senders.ctypes.data_as(iptr32),
-                              receivers.ctypes.data_as(iptr32))
+    status = lib.dostpu_pack_edges_i32(
+        concat.ctypes.data_as(iptr32), _iptr(off), b, r,
+        senders.ctypes.data_as(iptr32), receivers.ctypes.data_as(iptr32))
+    if status != 0:
+        raise ValueError(f"a sample exceeds the pinned {r} edge rows")
     return senders, receivers

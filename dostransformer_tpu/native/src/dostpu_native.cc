@@ -105,42 +105,32 @@ int64_t dostpu_neighbor_list(const double* positions, int64_t n,
   return count;
 }
 
-// Pack variable-length per-sample 2-D float arrays into one padded
-// batch-leading buffer [B, R, C] plus a row mask [B, R]. The collation
-// engine behind GraphBatch (data/graph.py collate) — PyG DataLoader's
-// C++-backed scatter-of-graphs, re-designed for fixed shapes.
-void dostpu_pack_f32(const float* const* srcs, const int64_t* rows,
-                     int64_t n_samples, int64_t r, int64_t c,
-                     float* out /* zeroed [B, R, C] */,
-                     float* mask /* zeroed [B, R] or nullptr */) {
-  for (int64_t s = 0; s < n_samples; ++s) {
-    const int64_t nr = rows[s];
-    std::memcpy(out + s * r * c, srcs[s], sizeof(float) * nr * c);
-    if (mask != nullptr) {
-      for (int64_t k = 0; k < nr; ++k) mask[s * r + k] = 1.0f;
-    }
-  }
-}
-
-// Same for int32 (edge endpoint indices).
-void dostpu_pack_i32(const int32_t* const* srcs, const int64_t* rows,
-                     int64_t n_samples, int64_t r, int64_t c,
-                     int32_t* out /* zeroed [B, R, C] */) {
-  for (int64_t s = 0; s < n_samples; ++s) {
-    std::memcpy(out + s * r * c, srcs[s], sizeof(int32_t) * rows[s] * c);
-  }
-}
-
-// Concat-based packers: the per-sample pointer marshalling of the
-// array-of-pointers variants costs more in Python (one .ctypes property per
-// sample) than the memcpy saves — measured 0.6x vs the NumPy loop at 4096
-// samples. These take ONE concatenated buffer plus row offsets (both built
-// by single NumPy C ops), so the Python-side cost is O(1) arrays per call.
+// Concat-based packers: pack variable-length per-sample 2-D arrays into one
+// padded batch-leading buffer [B, R, C] (+ row mask). The collation engine
+// behind GraphBatch (data/graph.py collate) — PyG DataLoader's C++-backed
+// scatter-of-graphs, re-designed for fixed shapes. These take ONE
+// concatenated buffer plus row offsets (both built by single NumPy C ops) —
+// per-sample pointer marshalling was measured 0.6x vs the NumPy loop at
+// 4096 samples, so the array-of-pointers variants were removed.
 // offsets has n_samples+1 entries (cumulative rows, offsets[0] == 0).
-void dostpu_pack_concat_f32(const float* concat, const int64_t* offsets,
-                            int64_t n_samples, int64_t r, int64_t c,
-                            float* out /* zeroed [B, R, C] */,
-                            float* mask /* zeroed [B, R] or nullptr */) {
+//
+// Returns 0 on success, -1 if any row count is negative or exceeds r —
+// checked BEFORE any write (the Python wrapper raises; asserts there would
+// strip under python -O and a bad count would memcpy past the buffer).
+static bool rows_in_bounds(const int64_t* offsets, int64_t n_samples,
+                           int64_t r) {
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const int64_t nr = offsets[s + 1] - offsets[s];
+    if (nr < 0 || nr > r) return false;
+  }
+  return true;
+}
+
+int64_t dostpu_pack_concat_f32(const float* concat, const int64_t* offsets,
+                               int64_t n_samples, int64_t r, int64_t c,
+                               float* out /* zeroed [B, R, C] */,
+                               float* mask /* zeroed [B, R] or nullptr */) {
+  if (!rows_in_bounds(offsets, n_samples, r)) return -1;
   for (int64_t s = 0; s < n_samples; ++s) {
     const int64_t nr = offsets[s + 1] - offsets[s];
     std::memcpy(out + s * r * c, concat + offsets[s] * c,
@@ -149,26 +139,30 @@ void dostpu_pack_concat_f32(const float* concat, const int64_t* offsets,
       for (int64_t k = 0; k < nr; ++k) mask[s * r + k] = 1.0f;
     }
   }
+  return 0;
 }
 
-void dostpu_pack_concat_i32(const int32_t* concat, const int64_t* offsets,
-                            int64_t n_samples, int64_t r, int64_t c,
-                            int32_t* out /* zeroed [B, R, C] */) {
+int64_t dostpu_pack_concat_i32(const int32_t* concat, const int64_t* offsets,
+                               int64_t n_samples, int64_t r, int64_t c,
+                               int32_t* out /* zeroed [B, R, C] */) {
+  if (!rows_in_bounds(offsets, n_samples, r)) return -1;
   for (int64_t s = 0; s < n_samples; ++s) {
     const int64_t nr = offsets[s + 1] - offsets[s];
     std::memcpy(out + s * r * c, concat + offsets[s] * c,
                 sizeof(int32_t) * nr * c);
   }
+  return 0;
 }
 
 // Edge-index packing in one pass: concat is the [sum_e, 2] row-major
 // concatenation of the per-sample edge_index TRANSPOSES (senders,
 // receivers interleaved per edge); writes separate senders/receivers
 // [B, R] buffers directly — no Python-side unpack slice.
-void dostpu_pack_edges_i32(const int32_t* concat, const int64_t* offsets,
-                           int64_t n_samples, int64_t r,
-                           int32_t* senders /* zeroed [B, R] */,
-                           int32_t* receivers /* zeroed [B, R] */) {
+int64_t dostpu_pack_edges_i32(const int32_t* concat, const int64_t* offsets,
+                              int64_t n_samples, int64_t r,
+                              int32_t* senders /* zeroed [B, R] */,
+                              int32_t* receivers /* zeroed [B, R] */) {
+  if (!rows_in_bounds(offsets, n_samples, r)) return -1;
   for (int64_t s = 0; s < n_samples; ++s) {
     const int64_t nr = offsets[s + 1] - offsets[s];
     const int32_t* row = concat + offsets[s] * 2;
@@ -179,8 +173,9 @@ void dostpu_pack_edges_i32(const int32_t* concat, const int64_t* offsets,
       re[k] = row[2 * k + 1];
     }
   }
+  return 0;
 }
 
-int64_t dostpu_abi_version() { return 2; }
+int64_t dostpu_abi_version() { return 3; }
 
 }  // extern "C"

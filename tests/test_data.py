@@ -468,3 +468,59 @@ class TestFeaturizerPool:
         p_samples, p_species = featurize_csv(str(csv), r_max=4.0, workers=2)
         assert s_species == p_species
         self._assert_samples_equal(s_samples, p_samples)
+
+
+class TestUnwrappedCoordinates:
+    def test_out_of_cell_positions_find_the_same_edges(self):
+        """The periodic-image bound assumes in-cell positions; ASE/pymatgen
+        accept unwrapped coordinates. An atom displaced by whole lattice
+        vectors must yield the SAME edge set, with shifts re-expressed so
+        |pos[dst] - pos[src] + shift @ cell| is unchanged."""
+        rng = np.random.RandomState(0)
+        cell = np.diag([4.0, 5.0, 6.0]) + rng.rand(3, 3) * 0.3
+        pos = rng.rand(6, 3) @ cell  # in-cell
+        cutoff = 4.0
+
+        src0, dst0, sh0 = neighbor_list_pbc(pos, cell, cutoff)
+        moved = pos.copy()
+        moved[2] += np.array([2, -3, 1]) @ cell  # whole-lattice displacement
+        src1, dst1, sh1 = neighbor_list_pbc(moved, cell, cutoff)
+
+        def canon(pp, s, d, sh):
+            vec = pp[d] + sh @ cell - pp[s]
+            dist = np.linalg.norm(vec, axis=1)
+            order = np.lexsort((dist, d, s))
+            return s[order], d[order], np.round(dist[order], 9)
+
+        a = canon(pos, src0, dst0, sh0)
+        b = canon(moved, src1, dst1, sh1)
+        assert len(a[0]) == len(b[0]) > 0
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_allclose(a[2], b[2], atol=1e-8)
+
+    def test_in_cell_inputs_skip_the_wrap(self):
+        """Already-wrapped positions take the bit-identical fast path (no
+        wrap adjustment applied)."""
+        rng = np.random.RandomState(1)
+        cell = np.diag([4.0, 4.0, 4.0])
+        frac = rng.rand(5, 3) * 0.98 + 0.01
+        pos = frac @ cell
+        src, dst, sh = neighbor_list_pbc(pos, cell, 3.0)
+        assert len(src) > 0  # sanity; fast path exercised
+
+
+class TestNativePackBounds:
+    def test_oversized_row_count_raises_not_corrupts(self):
+        """The C++ packers bounds-check BEFORE writing and return a status;
+        the wrapper raises ValueError (asserts would strip under python -O
+        and the memcpy would run past the output buffer)."""
+        from dostransformer_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        arrays = [np.ones((3, 4), np.float32), np.ones((9, 4), np.float32)]
+        with pytest.raises(ValueError, match="exceeds the pinned"):
+            native.pack_f32(arrays, r=4, c=4)
+        with pytest.raises(ValueError, match="exceeds the pinned"):
+            native.pack_edges([np.zeros((2, 9), np.int64)], r=4)
