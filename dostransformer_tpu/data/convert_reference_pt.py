@@ -106,7 +106,8 @@ def convert(pt_path: str, out_path: Optional[str] = None) -> List[GraphSample]:
         samples.append(GraphSample(
             x=np.asarray(f["x"], np.float32),
             edge_index=np.asarray(f["edge_index"], np.int64),
-            edge_attr=np.asarray(f["edge_attr"], np.float32),
+            edge_attr=(np.asarray(f["edge_attr"], np.float32)
+                       if "edge_attr" in f else None),
             y=np.asarray(f["y_ft"], np.float32).reshape(-1),
             y_raw=(np.asarray(f["y"], np.float32).reshape(-1)
                    if "y" in f else None),

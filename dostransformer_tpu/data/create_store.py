@@ -23,10 +23,18 @@ def create_dos_store(raw_dir: str, out_path: str,
     files = os.listdir(raw_dir)
     store = {}
     for name in files:
+        # filenames shorter than the suffix would key as "" (or garble) and
+        # silently collide; count them as failures like unreadable files
+        if len(name) <= strip_suffix_len:
+            continue
+        key = name[:-strip_suffix_len] if strip_suffix_len > 0 else name
         try:
             with open(os.path.join(raw_dir, name)) as f:
-                store[name[:-strip_suffix_len]] = json.load(f)
-        except (OSError, json.JSONDecodeError):
+                store[key] = json.load(f)
+        except Exception:
+            # the reference tolerates ANY per-file failure (bare `except:
+            # pass`, create_pickle.py) — e.g. a binary stray file raising
+            # UnicodeDecodeError must be skipped, not abort the ingestion
             pass
     with open(out_path, "wb") as f:
         pickle.dump(store, f)
@@ -44,7 +52,10 @@ def create_mp_store(raw_dir: str, out_path: str) -> Tuple[int, int]:
             with open(os.path.join(raw_dir, name)) as f:
                 rec = json.load(f)["response"][0]
                 store[rec["material_id"]] = rec
-        except (OSError, json.JSONDecodeError, KeyError, IndexError):
+        except Exception:
+            # reference-equivalent tolerance (bare except in
+            # create_pickle.py): a top-level JSON array raises TypeError,
+            # a binary file UnicodeDecodeError — all count as failures
             pass
     with open(out_path, "wb") as f:
         pickle.dump(store, f)

@@ -36,6 +36,14 @@ def train_test_split(items: Sequence, test_size: float, random_state: int):
     except ImportError:  # pragma: no cover
         n = len(items)
         n_test = int(math.ceil(n * test_size))
+        if n_test >= n or n_test < 1:
+            # sklearn raises here; element_balanced_split's reference
+            # parity DEPENDS on it (its `except ValueError: continue`
+            # replicates utils.py's too-few-examples skip — a silent
+            # empty-train split would put lone-element samples in test)
+            raise ValueError(
+                f"train_test_split would leave an empty split "
+                f"(n={n}, n_test={n_test})")
         rng = np.random.RandomState(random_state)
         perm = rng.permutation(n)
         test_idx = perm[:n_test]
@@ -148,12 +156,22 @@ class GraphLoader:
         self.shuffle = shuffle
         self.numpy = numpy
         self.rng = np.random.RandomState(seed)
-        max_n = max(s.n_nodes for s in self.samples)
-        max_e = max(s.n_edges for s in self.samples)
-        self.atoms_per_graph = atoms_per_graph or (
-            bucket_size(max_n) if use_buckets else max_n)
-        self.edges_per_graph = edges_per_graph or (
-            bucket_size(max(max_e, 1)) if use_buckets else max(max_e, 1))
+        if not self.samples:
+            from dostransformer_tpu.data.graph import RequestError
+
+            raise RequestError("GraphLoader needs at least one sample")
+        # explicit None checks (collate's contract): a pin of 0 is invalid
+        # input for collate to reject, not a falsy "derive it for me"
+        if atoms_per_graph is None or edges_per_graph is None:
+            max_n = max(s.n_nodes for s in self.samples)
+            max_e = max(s.n_edges for s in self.samples)
+        if atoms_per_graph is None:
+            atoms_per_graph = bucket_size(max_n) if use_buckets else max_n
+        if edges_per_graph is None:
+            edges_per_graph = (bucket_size(max(max_e, 1)) if use_buckets
+                               else max(max_e, 1))
+        self.atoms_per_graph = atoms_per_graph
+        self.edges_per_graph = edges_per_graph
         self.drop_last = drop_last
 
     def __len__(self) -> int:

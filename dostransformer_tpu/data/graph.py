@@ -153,6 +153,8 @@ def collate(
     (serve.Predictor's chunked scan) instead of uploading per batch.
     """
     b_real = len(samples)
+    if b_real == 0:
+        raise RequestError("empty request: no samples to collate")
     # explicit None checks: a pin of 0 is an invalid value to reject below,
     # not a falsy "derive it for me"
     b = b_real if num_graphs is None else num_graphs
