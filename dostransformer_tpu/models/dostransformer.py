@@ -35,8 +35,8 @@ from dostransformer_tpu.nn.modules import (
     GraphDecoderPhDOS,
     GraphEncoderEDOS,
     GraphEncoderPhDOS,
-    Processor,
     TorchLinear,
+    run_message_passing,
 )
 from dostransformer_tpu.nn.transformer import TransformerEncoder
 from dostransformer_tpu.ops.geometry import edge_geometry_phdos
@@ -78,8 +78,18 @@ class _DOSTransformerBase(fnn.Module):
 
     @property
     def _cdtype(self):
-        return {"bfloat16": jnp.bfloat16,
-                "float64": jnp.float64}.get(self.dtype, jnp.float32)
+        table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "float64": jnp.float64}
+        if self.dtype not in table:
+            # loud: "bf16" silently trained in f32 via a .get default
+            raise ValueError(f"unknown dtype {self.dtype!r}; expected one "
+                             f"of {sorted(table)}")
+        if self.padding not in ("mask", "ref"):
+            # equally silent before: any typo ('masked', 'Mask') fell
+            # through to ref semantics — zero-key pad atoms in attention
+            raise ValueError(f"unknown padding {self.padding!r}; expected "
+                             f"'mask' or 'ref'")
+        return table[self.dtype]
 
     def _cast(self, *xs):
         out = tuple(x.astype(self._cdtype) if x is not None else None
@@ -119,15 +129,10 @@ class _DOSTransformerBase(fnn.Module):
         if fused is None:
             fused = (jax.default_backend() == "tpu"
                      and self.hidden % 128 == 0)
-        proc_cls = fnn.remat(Processor) if self.remat else Processor
-        for i in range(self.layers):
-            out_x, out_e = proc_cls(self.hidden, self.aggregation,
-                                    fused, name=f"processor{i}")(
-                x, g.senders, g.receivers, edge_attr, g.edge_mask)
-            # residual applied by the caller, as in the reference (:56-59)
-            x = x + out_x
-            edge_attr = edge_attr + out_e
-        return x, edge_attr
+        return run_message_passing(
+            g, x, edge_attr, layers=self.layers, hidden=self.hidden,
+            aggregation=self.aggregation, use_fused_mp=fused,
+            remat=self.remat)
 
     def _heads(self, tr_self, tr_source, g: GraphBatch, energies, graph,
                x_dense, key_mask, deterministic):

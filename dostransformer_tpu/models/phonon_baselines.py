@@ -21,9 +21,9 @@ from dostransformer_tpu.nn.modules import (
     GraphEncoderPhDOS,
     MLP2,
     MLPBlock,
-    Processor,
     TorchLinear,
     masked_node_pool,
+    run_message_passing,
 )
 from dostransformer_tpu.ops.geometry import edge_geometry_phdos, smooth_cutoff
 
@@ -50,11 +50,9 @@ class GraphnetworkPhDOS(fnn.Module):
         edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
         x, edge_attr = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(
             g.nodes, edge_attr)
-        for i in range(self.layers):
-            out_x, out_e = Processor(self.hidden, "mean", name=f"processor{i}")(
-                x, g.senders, g.receivers, edge_attr, g.edge_mask)
-            x = x + out_x
-            edge_attr = edge_attr + out_e
+        x, edge_attr = run_message_passing(
+            g, x, edge_attr, layers=self.layers, hidden=self.hidden,
+            aggregation="mean")
 
         graph = GraphDecoderPhDOS(self.hidden, name="GN_decoder")(x, g.node_mask)
         graph = jnp.broadcast_to(graph[:, None, :], (b, self.n_bins, self.hidden))
@@ -79,11 +77,9 @@ class Graphnetwork2PhDOS(fnn.Module):
         edge_attr = edge_geometry_phdos(g.edge_vec, self.r_max)
         x, edge_attr = GraphEncoderPhDOS(self.hidden, name="GN_encoder")(
             g.nodes, edge_attr)
-        for i in range(self.layers):
-            out_x, out_e = Processor(self.hidden, "mean", name=f"processor{i}")(
-                x, g.senders, g.receivers, edge_attr, g.edge_mask)
-            x = x + out_x
-            edge_attr = edge_attr + out_e
+        x, edge_attr = run_message_passing(
+            g, x, edge_attr, layers=self.layers, hidden=self.hidden,
+            aggregation="mean")
 
         pooled = _pool(g, x)
         h = jax.nn.leaky_relu(TorchLinear(self.hidden // 2, name="out0")(pooled))
@@ -113,7 +109,11 @@ class MLPPhDOS(fnn.Module):
         node_encoder = MLP2(self.hidden, name="node_encoder")
         x = node_encoder(g.nodes)
         z = node_encoder(g.node_z)  # shared encoder, mlp_phonon.py:98-99
-        _ = MLP2(self.hidden, name="edge_encoder")(edge_attr)
+        # parity-only params (the reference creates an edge encoder it never
+        # uses, mlp_phonon.py): materialize them with a 1-row dummy instead
+        # of running the full MLP over the real [B, Eg, 3] tensor
+        _ = MLP2(self.hidden, name="edge_encoder")(
+            jnp.zeros((1, edge_attr.shape[-1]), edge_attr.dtype))
 
         pooled = jnp.concatenate(
             [masked_node_pool(z, g.node_mask),

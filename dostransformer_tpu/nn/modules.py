@@ -189,6 +189,11 @@ class NodeModel(fnn.Module):
         """agg_sum: precomputed masked sum-aggregation (the fused kernel
         returns it); otherwise computed here via segment ops."""
         a = x.shape[1]
+        if self.aggregation not in ("sum", "mean"):
+            # validate on BOTH branches: the fused path used to fall
+            # through to mean for any unknown value while the non-fused
+            # path raised — a backend-dependent silent divergence
+            raise ValueError(f"unknown aggregation {self.aggregation!r}")
         if agg_sum is not None:
             if self.aggregation == "sum":
                 agg = agg_sum
@@ -224,6 +229,21 @@ class Processor(fnn.Module):
         x = NodeModel(self.hidden, self.aggregation, name="node_model")(
             x, senders, receivers, edge_attr, edge_mask, agg_sum=agg_sum)
         return x, edge_attr
+
+
+def run_message_passing(g, x, edge_attr, *, layers, hidden, aggregation,
+                        use_fused_mp=False, remat=False):
+    """The reference's processor loop with CALLER-side residuals
+    (DOSTransformer.py:56-59) — shared by the flagship models and the GNN
+    baselines so the residual/masking semantics cannot drift between them."""
+    proc_cls = fnn.remat(Processor) if remat else Processor
+    for i in range(layers):
+        out_x, out_e = proc_cls(hidden, aggregation, use_fused_mp,
+                                name=f"processor{i}")(
+            x, g.senders, g.receivers, edge_attr, g.edge_mask)
+        x = x + out_x
+        edge_attr = edge_attr + out_e
+    return x, edge_attr
 
 
 class GraphEncoderEDOS(fnn.Module):

@@ -171,7 +171,12 @@ class TransformerEncoder(fnn.Module):
                  deterministic: bool = True):
         x = fnn.Dropout(self.embed_dropout, name="embed_drop")(
             x_in, deterministic=deterministic)
-        if x_in_k is None or x_in_v is None:
+        if (x_in_k is None) != (x_in_v is None):
+            # one-sided k/v would silently degrade to full self-attention,
+            # discarding the stream the caller DID supply
+            raise ValueError("pass both x_in_k and x_in_v (cross-attention) "
+                             "or neither (self-attention)")
+        if x_in_k is None:
             x_k = x_v = x
         else:
             x_k = fnn.Dropout(self.embed_dropout, name="embed_drop_k")(
