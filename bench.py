@@ -45,6 +45,45 @@ def _samples():
     return synthetic_edos_samples(N_SAMPLES, seed=0, min_atoms=4, max_atoms=24)
 
 
+def probe_tpu_backend(timeout_s: int = 180, retries: int = 3,
+                      wait_s: int = 60) -> None:
+    """Fail fast (with retries) if the tunneled-TPU backend is unreachable.
+
+    When the axon tunnel is configured (PALLAS_AXON_POOL_IPS) but the far end
+    is down, ``jax.devices()`` hangs forever inside PJRT client init — the
+    bench would never print its JSON line. Probe device init + a value fetch
+    in a subprocess under a timeout; on persistent failure, emit an explicit
+    error record instead of hanging.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # local CPU/TPU backend: init either works or raises promptly
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+            "v = float(jnp.arange(8.0).sum()); "  # value fetch = real barrier
+            "print(d[0].device_kind, v)")
+    last = ""
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(wait_s)
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                return
+            last = (r.stderr or "").strip()[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"device init hung >{timeout_s}s (tunnel down?)"
+        print(f"[bench] TPU probe attempt {attempt + 1}/{retries} failed: "
+              f"{last}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "edos_train_samples_per_sec", "value": 0.0,
+        "unit": "samples/sec", "vs_baseline": 0.0,
+        "error": f"TPU backend unreachable after {retries} probes: {last}",
+    }))
+    sys.exit(1)
+
+
 def measure_baseline() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -170,6 +209,7 @@ def analytic_flops_per_step() -> float:
 
 
 def main():
+    probe_tpu_backend()
     baseline = measure_baseline()
     ours = measure_jax()
     record = {
