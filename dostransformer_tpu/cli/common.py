@@ -115,6 +115,11 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                    help="also write TensorBoard scalar curves (loss, valid/"
                         "test metrics) to DIR — dependency-free event writer "
                         "(train/tensorboard.py)")
+    p.add_argument("--init_torch", type=str, default=None, metavar="PT",
+                   help="initialize params from a torch.save'd state_dict in "
+                        "the reference repo's naming (fine-tune/migration "
+                        "warm start; models/import_torch.py). A checkpoint "
+                        "resume takes precedence when one exists")
     return p
 
 
@@ -151,6 +156,7 @@ def run_training(
     tensorboard: Optional[str] = None,
     pad_bins: int = 0,
     bf16_data: bool = False,
+    init_torch: Optional[str] = None,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics.
 
@@ -168,7 +174,7 @@ def run_training(
                              results_dir,
                              export_preds, profile_dir, debug_nans, x64,
                              remat, host_loader, compile_cache, tensorboard,
-                             pad_bins, bf16_data)
+                             pad_bins, bf16_data, init_torch)
     finally:
         stop.restore()
 
@@ -194,6 +200,7 @@ def _run_training(
     tensorboard: Optional[str],
     pad_bins: int,
     bf16_data: bool,
+    init_torch: Optional[str] = None,
 ) -> dict:
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -317,6 +324,25 @@ def _run_training(
         state, start_epoch, rtracker = restored
         tracker = rtracker or tracker
         print(f"resumed from epoch {start_epoch}")
+    if init_torch:
+        if start_epoch:
+            print(f"checkpoint resume at epoch {start_epoch} takes "
+                  f"precedence; ignoring --init_torch {init_torch}")
+        else:
+            # migration warm start: reference-format torch weights onto the
+            # freshly initialized params, preserving each leaf's sharding
+            # (under DP/TP the init placed params on the mesh)
+            from dostransformer_tpu.models.import_torch import (
+                import_reference_state_dict,
+                load_torch_state_dict,
+            )
+
+            imported = import_reference_state_dict(
+                load_torch_state_dict(init_torch), state.params)
+            state = state.replace(params=jax.tree.map(
+                lambda new, old: jax.device_put(new, old.sharding),
+                imported, state.params))
+            print(f"initialized params from torch state_dict {init_torch}")
 
     # Collate + stack + upload each eval split ONCE; every eval interval
     # reuses the device-resident stack (re-listing the loader per eval would

@@ -86,7 +86,8 @@ def main(argv=None):
                           compile_cache=args.compile_cache,
                           tensorboard=args.tensorboard,
                           pad_bins=args.pad_bins,
-                          bf16_data=args.bf16_data)
+                          bf16_data=args.bf16_data,
+                          init_torch=args.init_torch)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--from_exported", metavar="DIR",
                    help="serve a Predictor.export artifact instead of a "
                         "checkpoint (ignores the model-shape flags)")
+    p.add_argument("--torch_state_dict", metavar="PATH",
+                   help="serve a torch.save'd state_dict from the reference "
+                        "PyTorch repo instead of a checkpoint (migration "
+                        "path; model-shape flags must match the weights)")
     args = p.parse_args(argv)
 
     # multi-host pods must initialize DCN before the backend comes up, or
@@ -66,24 +70,36 @@ def main(argv=None):
     if args.from_exported and args.checkpoint_state:
         p.error("--checkpoint_state picks which checkpoint to load; an "
                 "exported artifact has its params baked in")
+    if args.torch_state_dict and (args.from_exported or args.checkpoint_dir
+                                  or args.checkpoint_state):
+        p.error("--torch_state_dict replaces the checkpoint source; give "
+                "exactly one of --checkpoint_dir / --from_exported / "
+                "--torch_state_dict (and no --checkpoint_state)")
     samples = load_samples(args.input)
     if args.from_exported:
         predictor = ExportedPredictor(args.from_exported)
     else:
-        if not (args.task and args.checkpoint_dir):
-            p.error("--task and --checkpoint_dir are required unless "
-                    "--from_exported is given")
+        if not (args.task and (args.checkpoint_dir or args.torch_state_dict)):
+            p.error("--task and --checkpoint_dir (or --torch_state_dict) are "
+                    "required unless --from_exported is given")
         mesh = None
         if args.data_parallel:
             from dostransformer_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(axes=("data",))
-        predictor = Predictor.from_checkpoint(
-            args.checkpoint_dir, task=args.task, example=samples[0],
-            embedder=args.embedder, layers=args.layers,
-            t_layers=args.transformer, hidden=args.hidden,
-            batch_size=args.batch_size, mesh=mesh,
-            prefer=args.checkpoint_state or "best")
+        if args.torch_state_dict:
+            predictor = Predictor.from_torch(
+                args.torch_state_dict, task=args.task, example=samples[0],
+                embedder=args.embedder, layers=args.layers,
+                t_layers=args.transformer, hidden=args.hidden,
+                batch_size=args.batch_size, mesh=mesh)
+        else:
+            predictor = Predictor.from_checkpoint(
+                args.checkpoint_dir, task=args.task, example=samples[0],
+                embedder=args.embedder, layers=args.layers,
+                t_layers=args.transformer, hidden=args.hidden,
+                batch_size=args.batch_size, mesh=mesh,
+                prefer=args.checkpoint_state or "best")
         import jax
 
         # pod runs execute this CLI on EVERY process (the predict dispatch

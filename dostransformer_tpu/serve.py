@@ -207,6 +207,43 @@ class Predictor:
         return cls(model, state.params, batch_size=batch_size,
                    clamp=(task == "edos"), mesh=mesh)
 
+    @classmethod
+    def from_torch(
+        cls,
+        state_dict_path: str,
+        task: str,
+        example: GraphSample,
+        embedder: str = "DOSTransformer",
+        layers: int = 3,
+        t_layers: int = 2,
+        hidden: int = 256,
+        batch_size: int = 8,
+        mesh=None,
+        strict: bool = True,
+        **model_kwargs,
+    ) -> "Predictor":
+        """Serve weights trained with the reference PyTorch repo.
+
+        Loads a ``torch.save``'d state_dict in the reference's module naming
+        (reference embedder_eDOS/DOSTransformer.py:17-43; mapping in
+        models/import_torch.py) and places it onto a freshly built model —
+        the weight half of the migration path for users bringing
+        reference-trained models to TPU. The model-shape args must match the
+        checkpoint (mismatches raise with the offending key)."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.models.import_torch import (
+            import_reference_state_dict,
+            load_torch_state_dict,
+        )
+
+        model = build_model(task, embedder, layers=layers, t_layers=t_layers,
+                            hidden=hidden, **model_kwargs)
+        template = model.init(jax.random.PRNGKey(0), collate([example]))
+        params = import_reference_state_dict(
+            load_torch_state_dict(state_dict_path), template, strict=strict)
+        return cls(model, params["params"], batch_size=batch_size,
+                   clamp=(task == "edos"), mesh=mesh)
+
     # batches per scan dispatch: greedy largest-first from power-of-two
     # sizes keeps the compiled executable count bounded (4 per bucket shape)
     # with <2x dispatch count over optimal for any request size
