@@ -35,6 +35,10 @@ def build_server(argv=None):
     p.add_argument("--from_exported", metavar="DIR",
                    help="serve a Predictor.export artifact (ignores the "
                         "model-shape flags)")
+    p.add_argument("--torch_state_dict", metavar="PATH",
+                   help="serve a torch.save'd state_dict from the reference "
+                        "PyTorch repo (migration path; model-shape flags "
+                        "must match the weights; needs --example)")
     p.add_argument("--embedder", default="DOSTransformer")
     p.add_argument("--layers", type=int, default=3)
     p.add_argument("--transformer", type=int, default=2)
@@ -80,6 +84,11 @@ def build_server(argv=None):
                 "(one server per host, a load balancer in front), or use "
                 "mesh sharding within one process (--data_parallel on a "
                 "single-host slice)")
+    if args.torch_state_dict and (args.from_exported or args.checkpoint_dir
+                                  or args.checkpoint_state):
+        p.error("--torch_state_dict replaces the checkpoint source; give "
+                "exactly one of --checkpoint_dir / --from_exported / "
+                "--torch_state_dict (and no --checkpoint_state)")
     if args.from_exported:
         if args.data_parallel:
             p.error("--data_parallel serves from a checkpoint; exported "
@@ -89,9 +98,11 @@ def build_server(argv=None):
                     "exported artifact has its params baked in")
         predictor = ExportedPredictor(args.from_exported)
     else:
-        if not (args.task and args.checkpoint_dir and args.example):
-            p.error("--task, --checkpoint_dir and --example are required "
-                    "unless --from_exported is given")
+        source = args.checkpoint_dir or args.torch_state_dict
+        if not (args.task and source and args.example):
+            p.error("--task, --example and --checkpoint_dir (or "
+                    "--torch_state_dict) are required unless "
+                    "--from_exported is given")
         from dostransformer_tpu.data.io import load_samples
 
         mesh = None
@@ -100,12 +111,19 @@ def build_server(argv=None):
 
             mesh = make_mesh(axes=("data",))
         example = load_samples(args.example)[0]
-        predictor = Predictor.from_checkpoint(
-            args.checkpoint_dir, task=args.task, example=example,
-            embedder=args.embedder, layers=args.layers,
-            t_layers=args.transformer, hidden=args.hidden,
-            batch_size=args.batch_size, mesh=mesh,
-            prefer=args.checkpoint_state or "best")
+        if args.torch_state_dict:
+            predictor = Predictor.from_torch(
+                args.torch_state_dict, task=args.task, example=example,
+                embedder=args.embedder, layers=args.layers,
+                t_layers=args.transformer, hidden=args.hidden,
+                batch_size=args.batch_size, mesh=mesh)
+        else:
+            predictor = Predictor.from_checkpoint(
+                args.checkpoint_dir, task=args.task, example=example,
+                embedder=args.embedder, layers=args.layers,
+                t_layers=args.transformer, hidden=args.hidden,
+                batch_size=args.batch_size, mesh=mesh,
+                prefer=args.checkpoint_state or "best")
     return make_server(predictor, host=args.host, port=args.port,
                        coalesce_ms=args.coalesce_ms)
 

@@ -55,6 +55,7 @@ from typing import Dict, List, Mapping, Sequence, Tuple
 import numpy as np
 
 __all__ = [
+    "export_reference_state_dict",
     "import_reference_state_dict",
     "load_torch_state_dict",
 ]
@@ -223,6 +224,36 @@ def import_reference_state_dict(state_dict: Mapping[str, object],
             node = node.setdefault(p, {})
         node[path[-1]] = jnp.asarray(arr)
     return {"params": new_tree} if wrapped else new_tree
+
+
+def export_reference_state_dict(params: Mapping,
+                                task: str = "edos") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_reference_state_dict`: our param tree as a
+    reference-named flat ``{dotted_name: np.ndarray}`` state_dict.
+
+    Lets TPU-trained weights flow back to the reference PyTorch ecosystem
+    (validation runs, downstream torch tooling). Linear kernels are
+    transposed back to torch's [out, in] layout. ``task`` picks the prompt
+    embedding spelling ('promt_token' for eDOS per DOSTransformer.py:20,
+    'prompt_token' for phDOS). The reference's dead params (in_proj_*,
+    node_mlp_1, ...) have no counterpart here and are omitted — load with
+    ``model.load_state_dict(sd, strict=False)`` on the torch side.
+    """
+    wrapped = isinstance(params, Mapping) and set(params) == {"params"}
+    tree = params["params"] if wrapped else params
+    out: Dict[str, np.ndarray] = {}
+    for path, refs, transpose in _leaf_entries(tree):
+        leaf = tree
+        for p in path:
+            leaf = leaf[p]
+        arr = np.asarray(leaf)
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        key = refs[0]
+        if path[-1] == "prompt_token" and task.lower() != "edos":
+            key = "prompt_token.weight"
+        out[key] = arr
+    return out
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

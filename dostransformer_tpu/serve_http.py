@@ -134,4 +134,5 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0,
         from dostransformer_tpu.serve_batch import CoalescingBatcher
 
         batcher = CoalescingBatcher(predictor, max_delay_ms=coalesce_ms)
+    server.predictor = predictor  # introspection/testing handle
     return server

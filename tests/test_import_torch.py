@@ -384,6 +384,56 @@ def test_load_torch_state_dict_roundtrip(tmp_path, batches):
         skel.state_dict()["embeddings.weight"].numpy())
 
 
+@pytest.mark.parametrize("task", ["edos", "phdos"])
+def test_export_import_roundtrip(task, batches):
+    """export_reference_state_dict is the exact inverse of the import, and
+    its key set matches the live (non-dead) reference keys."""
+    from dostransformer_tpu.models.import_torch import (
+        export_reference_state_dict,
+    )
+
+    model = build_model(task, "dostransformer", layers=L, t_layers=T, hidden=H)
+    params = model.init(jax.random.PRNGKey(9), batches[task])
+    sd = export_reference_state_dict(params, task=task)
+    spelled = "promt_token.weight" if task == "edos" else "prompt_token.weight"
+    assert spelled in sd
+    assert sd["fc.weight"].shape == (H, 2 * H)  # torch [out, in] layout
+    back = import_reference_state_dict(sd, params)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+    # torch side can consume it modulo dead params
+    skel = (_FlagshipEDOS if task == "edos" else _FlagshipPhDOS)()
+    missing, unexpected = skel.load_state_dict(
+        {k: torch.as_tensor(v.copy()) for k, v in sd.items()}, strict=False)
+    assert not unexpected
+    assert all(".self_attn." in k or ".node_mlp_1." in k or k == "alpha"
+               for k in missing), missing
+
+
+def test_serve_cli_torch_state_dict(tmp_path):
+    """main_serve builds a server straight from reference torch weights."""
+    from dostransformer_tpu.cli.main_serve import build_server
+    from dostransformer_tpu.data.io import save_samples
+
+    torch.manual_seed(13)
+    pt = os.path.join(tmp_path, "ref.pt")
+    torch.save(_FlagshipEDOS().state_dict(), pt)
+    samples = synthetic_edos_samples(2, seed=6)
+    ex = os.path.join(tmp_path, "ex.npz")
+    save_samples(ex, samples)
+    server = build_server(
+        ["--task", "edos", "--torch_state_dict", pt, "--example", ex,
+         "--layers", str(L), "--transformer", str(T), "--hidden", str(H),
+         "--port", "0"])
+    try:
+        dos = server.predictor.predict(samples)
+        assert dos.shape == (2, 201) and np.isfinite(dos).all()
+    finally:
+        server.server_close()
+
+
 def test_predictor_from_torch_and_cli(tmp_path):
     """Serving migration: Predictor.from_torch and the main_predict
     --torch_state_dict flag produce identical predictions."""
