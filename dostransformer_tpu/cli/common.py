@@ -120,6 +120,15 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                         "the reference repo's naming (fine-tune/migration "
                         "warm start; models/import_torch.py). A checkpoint "
                         "resume takes precedence when one exists")
+    p.add_argument("--grad_clip", type=float, default=0.0, metavar="NORM",
+                   help="clip gradients to this global norm (0 = off, the "
+                        "reference behavior)")
+    p.add_argument("--warmup_epochs", type=int, default=0, metavar="N",
+                   help="linear lr warmup 0 -> lr over the first N epochs "
+                        "(0 = off, the reference behavior)")
+    p.add_argument("--cosine_lr", action="store_true",
+                   help="cosine-decay the lr to 0 over the epochs after "
+                        "warmup (off = the reference's fixed lr)")
     return p
 
 
@@ -157,6 +166,9 @@ def run_training(
     pad_bins: int = 0,
     bf16_data: bool = False,
     init_torch: Optional[str] = None,
+    grad_clip: float = 0.0,
+    warmup_epochs: int = 0,
+    cosine_lr: bool = False,
 ) -> dict:
     """Train + eval + early stop; returns the final best metrics.
 
@@ -174,7 +186,8 @@ def run_training(
                              results_dir,
                              export_preds, profile_dir, debug_nans, x64,
                              remat, host_loader, compile_cache, tensorboard,
-                             pad_bins, bf16_data, init_torch)
+                             pad_bins, bf16_data, init_torch, grad_clip,
+                             warmup_epochs, cosine_lr)
     finally:
         stop.restore()
 
@@ -201,6 +214,9 @@ def _run_training(
     pad_bins: int,
     bf16_data: bool,
     init_torch: Optional[str] = None,
+    grad_clip: float = 0.0,
+    warmup_epochs: int = 0,
+    cosine_lr: bool = False,
 ) -> dict:
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -255,12 +271,18 @@ def _run_training(
             f"{n_data}-device 'data' mesh axis; each device takes "
             f"batch/{n_data} samples — pick a multiple of {n_data}")
     is_edos = task == "edos"
-    trainer = Trainer(model, tx=make_adamw(cfg.lr, cfg.weight_decay),
-                      beta=cfg.beta, clamp_targets=is_edos,
-                      eval_clamp=is_edos, mesh=mesh)
-
     loader = GraphLoader(train, batch_size=cfg.batch_size, shuffle=True,
                          seed=cfg.seed)
+    # fine-tuning extensions (all default-off = reference-exact optimizer):
+    # schedule horizons are in optimizer steps, derived from the loader
+    steps_per_epoch = len(loader)
+    tx = make_adamw(
+        cfg.lr, cfg.weight_decay, grad_clip=grad_clip,
+        warmup_steps=warmup_epochs * steps_per_epoch,
+        cosine_decay_steps=(max(0, cfg.epochs - warmup_epochs)
+                            * steps_per_epoch if cosine_lr else 0))
+    trainer = Trainer(model, tx=tx, beta=cfg.beta, clamp_targets=is_edos,
+                      eval_clamp=is_edos, mesh=mesh)
     # the reference evaluates at batch 1 (main_eDOS.py:55-56); our metrics are
     # per-sample masked, so ANY eval batch size gives bit-identical results —
     # use the training batch size (or the mesh size under DP) to cut the

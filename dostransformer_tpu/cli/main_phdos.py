@@ -87,7 +87,10 @@ def main(argv=None):
                           tensorboard=args.tensorboard,
                           pad_bins=args.pad_bins,
                           bf16_data=args.bf16_data,
-                          init_torch=args.init_torch)
+                          init_torch=args.init_torch,
+                          grad_clip=args.grad_clip,
+                          warmup_epochs=args.warmup_epochs,
+                          cosine_lr=args.cosine_lr)
     print(f"\nbest epoch {result['best_epoch']} | test {result['test']} | "
           f"{result['samples_per_sec']:.1f} samples/sec")
     return result

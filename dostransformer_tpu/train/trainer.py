@@ -63,7 +63,9 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_adamw(lr: float = 1e-4, weight_decay: float = 1e-2,
-               mu_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+               mu_dtype=jnp.bfloat16, *, grad_clip: float = 0.0,
+               warmup_steps: int = 0,
+               cosine_decay_steps: int = 0) -> optax.GradientTransformation:
     """torch.optim.AdamW(lr, weight_decay=1e-2) semantics (main_eDOS.py:93):
     decoupled decay on all parameters, betas (0.9, 0.999), eps 1e-8.
 
@@ -72,9 +74,34 @@ def make_adamw(lr: float = 1e-4, weight_decay: float = 1e-2,
     increment (1-b1)=0.1 is far above bf16 resolution, so the EMA stays
     faithful; accuracy validated end-to-end by benchmarks/convergence_demo).
     The second moment stays f32: its (1-b2)=1e-3 increments would underflow
-    a bf16 EMA. Pass mu_dtype=None for bit-faithful f32 state."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay, mu_dtype=mu_dtype)
+    a bf16 EMA. Pass mu_dtype=None for bit-faithful f32 state.
+
+    The keyword-only extensions are OFF by default (reference parity — the
+    reference trains at a fixed lr with no clipping); they exist for
+    fine-tuning workflows (e.g. --init_torch warm starts):
+      grad_clip > 0          clip gradients to this global norm first
+      warmup_steps > 0       linear lr warmup 0 -> lr over this many steps
+      cosine_decay_steps > 0 cosine-decay lr -> 0 over the steps AFTER
+                             warmup (pass total_steps - warmup_steps)
+    Schedules are per optimizer step (optax count), so they compose with
+    scan-compiled epochs and checkpoint resume (the count rides in
+    opt_state)."""
+    schedule: optax.ScalarOrSchedule = lr
+    if warmup_steps or cosine_decay_steps:
+        if cosine_decay_steps:
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warmup_steps else lr, peak_value=lr,
+                warmup_steps=warmup_steps,
+                decay_steps=warmup_steps + cosine_decay_steps, end_value=0.0)
+        else:
+            schedule = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup_steps),
+                 optax.constant_schedule(lr)], [warmup_steps])
+    opt = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                      weight_decay=weight_decay, mu_dtype=mu_dtype)
+    if grad_clip and grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
 
 
 class Trainer:
