@@ -21,9 +21,22 @@ import sys
 def _needs_reexec() -> bool:
     if os.environ.get("DOSTPU_TEST_REEXEC") == "1":
         return False
-    import jax  # already imported by sitecustomize when the gate is set
+    # NEVER query jax.default_backend() while the tunneled-TPU gate is set:
+    # initializing that backend can HANG indefinitely (tunnel down) or RAISE
+    # (tunnel unreachable -> pytest INTERNALERROR before any test runs).
+    # Decide from the environment alone; only touch jax when the environment
+    # already points at a local backend.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and platforms.split(",")[0] not in ("", "cpu"):
+        return True
+    import jax
 
-    return jax.default_backend() != "cpu" or len(jax.devices()) < 8
+    try:
+        return jax.default_backend() != "cpu" or len(jax.devices()) < 8
+    except RuntimeError:
+        return True
 
 
 def pytest_configure(config):
