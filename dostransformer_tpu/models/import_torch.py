@@ -50,7 +50,7 @@ to the template leaf's dtype (f32 on TPU).
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -215,32 +215,45 @@ def import_reference_state_dict(state_dict: Mapping[str, object],
             "state_dict keys not consumed by the import (pass strict=False "
             f"to ignore): {leftovers}")
 
-    import jax.numpy as jnp
-
+    # leaves stay host numpy: every caller places them itself (Predictor
+    # replicates over its mesh, the trainer device_puts onto each template
+    # leaf's sharding, bare jit commits on first use) — committing to a
+    # device here would force a second copy and, on a multi-host mesh, hand
+    # cross-process device_put a committed array instead of the host buffer
+    # it is documented to accept
     new_tree: Dict = {}
     for path, arr in flat.items():
         node = new_tree
         for p in path[:-1]:
             node = node.setdefault(p, {})
-        node[path[-1]] = jnp.asarray(arr)
+        node[path[-1]] = arr
     return {"params": new_tree} if wrapped else new_tree
 
 
 def export_reference_state_dict(params: Mapping,
-                                task: str = "edos") -> Dict[str, np.ndarray]:
+                                task: Optional[str] = None) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_reference_state_dict`: our param tree as a
     reference-named flat ``{dotted_name: np.ndarray}`` state_dict.
 
     Lets TPU-trained weights flow back to the reference PyTorch ecosystem
     (validation runs, downstream torch tooling). Linear kernels are
     transposed back to torch's [out, in] layout. ``task`` picks the prompt
-    embedding spelling ('promt_token' for eDOS per DOSTransformer.py:20,
-    'prompt_token' for phDOS). The reference's dead params (in_proj_*,
-    node_mlp_1, ...) have no counterpart here and are omitted — load with
-    ``model.load_state_dict(sd, strict=False)`` on the torch side.
+    embedding spelling — the reference misspells it per task ('promt_token'
+    for eDOS, DOSTransformer.py:20; 'prompt_token' for phDOS) and torch's
+    ``load_state_dict(strict=False)`` would SILENTLY drop a wrong-spelling
+    key (leaving a randomly initialized prompt table), so ``task`` is
+    required whenever the tree has a prompt embedding. The reference's dead
+    params (in_proj_*, node_mlp_1, ...) have no counterpart here and are
+    omitted — load with ``model.load_state_dict(sd, strict=False)`` on the
+    torch side and check that ``missing_keys`` holds only those dead params.
     """
     wrapped = isinstance(params, Mapping) and set(params) == {"params"}
     tree = params["params"] if wrapped else params
+    if "prompt_token" in tree and task is None:
+        raise ValueError(
+            "this model has a prompt embedding, whose reference state_dict "
+            "key is task-specific ('promt_token' eDOS / 'prompt_token' "
+            "phDOS) — pass task='edos' or task='phdos'")
     out: Dict[str, np.ndarray] = {}
     for path, refs, transpose in _leaf_entries(tree):
         leaf = tree
@@ -273,8 +286,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
-    if isinstance(obj, Mapping) and "state_dict" in obj and not any(
-            torch.is_tensor(v) for v in obj.values()):
+    if (isinstance(obj, Mapping) and isinstance(obj.get("state_dict"), Mapping)
+            and obj["state_dict"]
+            and all(torch.is_tensor(v) for v in obj["state_dict"].values())):
+        # common checkpoint wrapper {'state_dict': ..., 'epoch': ..., ...} —
+        # unwrap based on what the INNER mapping holds (sibling metadata may
+        # itself contain tensors, e.g. a best-loss scalar)
         obj = obj["state_dict"]
     out = {}
     for k, v in obj.items():

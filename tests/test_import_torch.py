@@ -384,6 +384,33 @@ def test_load_torch_state_dict_roundtrip(tmp_path, batches):
         skel.state_dict()["embeddings.weight"].numpy())
 
 
+def test_load_torch_state_dict_unwraps_checkpoint_wrapper(tmp_path):
+    """The common {'state_dict': ..., metadata...} wrapper unwraps even when
+    sibling metadata itself holds tensors (e.g. a best-loss scalar)."""
+    skel = _FlagshipEDOS()
+    path = os.path.join(tmp_path, "ckpt.pt")
+    torch.save({"state_dict": skel.state_dict(), "epoch": 5,
+                "best_loss": torch.tensor(0.3)}, path)
+    sd = load_torch_state_dict(path)
+    assert "embeddings.weight" in sd and "best_loss" not in sd
+
+
+def test_export_requires_task_for_prompt_models(batches):
+    from dostransformer_tpu.models.import_torch import (
+        export_reference_state_dict,
+    )
+
+    model = build_model("edos", "dostransformer", layers=L, t_layers=T,
+                        hidden=H)
+    params = model.init(jax.random.PRNGKey(2), batches["edos"])
+    with pytest.raises(ValueError, match="task"):
+        export_reference_state_dict(params)
+    # prompt-free families need no task
+    m2 = build_model("edos", "mlp2", hidden=H)
+    p2 = m2.init(jax.random.PRNGKey(2), batches["edos"])
+    assert "out_layer.0.weight" in export_reference_state_dict(p2)
+
+
 @pytest.mark.parametrize("task", ["edos", "phdos"])
 def test_export_import_roundtrip(task, batches):
     """export_reference_state_dict is the exact inverse of the import, and
