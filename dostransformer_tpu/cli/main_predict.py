@@ -49,6 +49,12 @@ def main(argv=None):
                    help="serve a torch.save'd state_dict from the reference "
                         "PyTorch repo instead of a checkpoint (migration "
                         "path; model-shape flags must match the weights)")
+    p.add_argument("--metrics", action="store_true",
+                   help="also evaluate the predictions against the samples' "
+                        "carried targets with the reference's eval semantics "
+                        "(per-sample RMSE/MSE/MAE + variance-weighted r2, "
+                        "system head; eDOS clamps targets at 0) — printed as "
+                        "one JSON line and stored in the output npz")
     args = p.parse_args(argv)
 
     # multi-host pods must initialize DCN before the backend comes up, or
@@ -112,14 +118,42 @@ def main(argv=None):
                 predictor.export(args.export, samples)
                 print(f"exported serving artifact -> {args.export}")
             return None
+    if args.metrics and not args.task:
+        p.error("--metrics needs --task (it picks the reference eval "
+                "semantics: eDOS clamps targets at 0, phDOS does not)")
     dos = predictor.predict(samples)
+    metrics = None
+    if args.metrics:
+        from dostransformer_tpu.train.metrics import r2_variance_weighted
+
+        ys = np.stack([np.asarray(s.y, np.float64) for s in samples])
+        preds = np.asarray(dos, np.float64)
+        if args.task == "edos":
+            # reference `test` clamps y (utils.py:74-76); the eDOS predictor
+            # already clamps its predictions
+            ys = np.clip(ys, 0.0, None)
+        mse = ((ys - preds) ** 2).mean(axis=-1)
+        metrics = {
+            "rmse": float(np.sqrt(mse).mean()),
+            "mse": float(mse.mean()),
+            "mae": float(np.abs(ys - preds).mean(axis=-1).mean()),
+            "r2": float(np.mean([r2_variance_weighted(y, pp)
+                                 for y, pp in zip(ys, preds)])),
+            "n": int(len(samples)),
+        }
     import jax
 
     if jax.process_index() == 0:
+        extra = {}
+        if metrics is not None:
+            import json
+
+            print(json.dumps({"metrics": metrics}))
+            extra = {k: np.float64(v) for k, v in metrics.items()}
         np.savez_compressed(
             args.output, dos=dos,
             sample_id=np.asarray([s.sample_id for s in samples]),
-            mp_id=np.asarray([s.mp_id for s in samples]))
+            mp_id=np.asarray([s.mp_id for s in samples]), **extra)
         print(f"predicted {dos.shape[0]} spectra ({dos.shape[1]} bins) "
               f"-> {args.output}")
     return dos

@@ -495,6 +495,40 @@ def test_predictor_from_torch_and_cli(tmp_path):
              "--checkpoint_dir", "somewhere", "--input", inp, "--output", out])
 
 
+def test_predict_metrics_flag(tmp_path, capsys):
+    """--metrics evaluates predictions vs carried targets with reference
+    eval semantics and stores the scalars in the output npz."""
+    import json
+
+    from dostransformer_tpu.cli import main_predict
+    from dostransformer_tpu.data.io import save_samples
+    from dostransformer_tpu.train.metrics import r2_variance_weighted
+
+    torch.manual_seed(21)
+    pt = os.path.join(tmp_path, "ref.pt")
+    torch.save(_FlagshipEDOS().state_dict(), pt)
+    samples = synthetic_edos_samples(4, seed=8)
+    inp = os.path.join(tmp_path, "in.npz")
+    out = os.path.join(tmp_path, "out.npz")
+    save_samples(inp, samples)
+    dos = main_predict.main(
+        ["--task", "edos", "--torch_state_dict", pt, "--input", inp,
+         "--output", out, "--layers", str(L), "--transformer", str(T),
+         "--hidden", str(H), "--metrics"])
+    line = next(ln for ln in capsys.readouterr().out.splitlines()
+                if ln.startswith("{"))
+    m = json.loads(line)["metrics"]
+    ys = np.clip(np.stack([s.y for s in samples]).astype(np.float64), 0, None)
+    preds = np.asarray(dos, np.float64)
+    np.testing.assert_allclose(
+        m["rmse"], np.sqrt(((ys - preds) ** 2).mean(-1)).mean(), rtol=1e-9)
+    np.testing.assert_allclose(
+        m["r2"], np.mean([r2_variance_weighted(y, pp)
+                          for y, pp in zip(ys, preds)]), rtol=1e-9)
+    saved = np.load(out)
+    assert float(saved["rmse"]) == m["rmse"] and int(saved["n"]) == 4
+
+
 def test_train_warm_start_init_torch(tmp_path, capsys):
     """--init_torch warm-starts training from reference torch weights."""
     from dostransformer_tpu.cli import main_phdos
