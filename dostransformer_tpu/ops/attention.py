@@ -169,8 +169,89 @@ def _fwd_kernel_call(qb, kb, vb, biasb, *, d: int, tq: int):
     )(qb, kb, vb, biasb)
 
 
+def _use_nopad() -> bool:
+    """Opt-in no-pad kernel path (DOSTPU_ATTN_NOPAD=1): pass q/k/v/bias to
+    Pallas at their RAW logical shapes with full-dimension blocks and let
+    Mosaic handle the sublane/lane alignment internally. The explicit
+    _pad_operands copies exist because grid-tiled blocks that overrun an
+    array have unspecified out-of-bounds content (BASELINE.md B=64
+    burn-down); with block == full dim there IS no overrun — shapes are
+    logical and Mosaic masks its internal padding semantically. If this
+    compiles on real TPU it deletes the residual-format pads, the g pad and
+    the dq/dk/dv un-pads (the ~2.3 ms/step copy floor at B=64).
+    Differential-tested vs the padded path; perf to be measured on TPU."""
+    return os.environ.get("DOSTPU_ATTN_NOPAD") == "1"
+
+
+def _vmem_rounded(rows: int, cols: int, itemsize: int) -> int:
+    """Mosaic's internal VMEM footprint of a [rows, cols] block (sublane
+    rounded to 8, lane to 128) — used for nb budgeting on raw shapes."""
+    return _round_up(rows, 8) * _round_up(cols, 128) * itemsize
+
+
+def _fwd_kernel_call_nopad(q, k, v, bias):
+    """Forward kernel on RAW shapes: grid over batch only, one full-dim
+    block per operand; output lands unpadded (no slice needed)."""
+    b, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    precision = _attn_precision()
+    per_elem = (2 * _vmem_rounded(lq, d, q.dtype.itemsize)
+                + 2 * _vmem_rounded(lk, d, k.dtype.itemsize)
+                + 2 * _vmem_rounded(lq, lk, 4))
+    nb = _pick_nb(b, per_elem)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, precision=precision,
+                          nb=nb),
+        grid=(b // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, lq, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lk, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, lk, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, lk), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, lq, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq, d), q.dtype),
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
+    )(q, k, v, bias[:, None, :])
+
+
+@jax.jit
+def _fused_attention_bwd_nopad(q, k, v, bias, g):
+    """Backward on RAW shapes (no pads in, no un-pads out)."""
+    b, lq, d = g.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    precision = _attn_precision()
+    per_elem = (3 * _vmem_rounded(lq, d, q.dtype.itemsize)
+                + 4 * _vmem_rounded(lk, d, k.dtype.itemsize)
+                + 4 * _vmem_rounded(lq, lk, 4))
+    nb = _pick_nb(b, per_elem)
+    blk = lambda l: pl.BlockSpec((nb, l, d), lambda bi: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, precision=precision,
+                          nb=nb),
+        grid=(b // nb,),
+        in_specs=[blk(lq), blk(lk), blk(lk),
+                  pl.BlockSpec((nb, 1, lk), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  blk(lq)],
+        out_specs=[blk(lq), blk(lk), blk(lk)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lk, d), v.dtype),
+        ],
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
+    )(q, k, v, bias[:, None, :], g)
+    return dq, dk, dv
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
+    if _use_nopad():
+        return _fwd_kernel_call_nopad(q, k, v, bias)
     b, lq, d = q.shape
     qb, kb, vb, biasb, tq = _pad_operands(q, k, v, bias, q_tile)
     out = _fwd_kernel_call(qb, kb, vb, biasb, d=d, tq=tq)
@@ -197,11 +278,13 @@ def _fused_attention(q, k, v, bias):
 
 
 def _fused_fwd(q, k, v, bias):
-    if _use_pallas_bwd(q.shape[0]):
+    if _use_pallas_bwd(q.shape[0]) and not _use_nopad():
         # padded residuals: bias stays unpadded ([B, Lk] — tiny) so the
         # backward can recover the real Lk/Lq/D from (bias, g) shapes
         o, qb, kb, vb = _fused_attention_fwd_keep(q, k, v, bias)
         return o, (qb, kb, vb, bias)
+    # nopad path: residuals are the raw operands — there are no padded
+    # buffers to share; the nopad backward consumes raw shapes directly
     o = _fused_attention_fwd(q, k, v, bias)
     return o, (q, k, v, bias)
 
@@ -328,6 +411,10 @@ def _softmax_attn_bwd(q, k, v, bias, g, scale):
 
 def _fused_bwd(res, g):
     if _use_pallas_bwd(g.shape[0]):
+        if _use_nopad():
+            q, k, v, bias = res  # raw residuals
+            dq, dk, dv = _fused_attention_bwd_nopad(q, k, v, bias, g)
+            return dq, dk, dv, None
         # res holds the fwd's PADDED kernel operands (see _fused_fwd)
         qb, kb, vb, bias = res
         dq, dk, dv = _fused_attention_bwd(qb, kb, vb, bias, g)

@@ -141,6 +141,48 @@ class TestAttention:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestNopadAttention:
+    """DOSTPU_ATTN_NOPAD=1: the kernels take RAW logical shapes (full-dim
+    blocks, Mosaic handles alignment internally) instead of explicitly
+    HBM-padded operands. Opt-in until measured on real TPU (BASELINE.md
+    B=64 copy-floor item); numerics must match both other paths exactly."""
+
+    @pytest.mark.parametrize("b,lq,lk,d", [(2, 201, 33, 96), (4, 9, 13, 32)])
+    def test_nopad_forward_and_grads_match(self, b, lq, lk, d, monkeypatch):
+        rng = np.random.RandomState(7)
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.2)
+        loss = lambda *a: (fused_attention(*a, mask) ** 2).sum()
+
+        monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "1")
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")  # nopad bwd kernel
+        out_np = fused_attention(q, k, v, mask)
+        g_np = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        monkeypatch.delenv("DOSTPU_ATTN_NOPAD")
+        monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "0")  # jnp reference bwd
+        out_ref = fused_attention(q, k, v, mask)
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        np.testing.assert_allclose(np.asarray(out_np), np.asarray(out_ref),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b_ in zip(g_np, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_nopad_unmasked(self, monkeypatch):
+        rng = np.random.RandomState(8)
+        b, lq, lk, d = 2, 51, 201, 64
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "1")
+        out = fused_attention(q, k, v, None)
+        ref = dot_product_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestGeometry:
     # --- transcribed e3nn goldens ------------------------------------------
     # e3nn itself is not installable in this environment (no installs; see
