@@ -79,6 +79,22 @@ CONFIGS = {
                             target_steps=256, fused_mp=False),
     "b64_large_nofusedmp": dict(batch=64, lo=64, hi=230, n=128, epochs=1,
                                 target_steps=48, fused_mp=False),
+    # STAGED no-pad kernels (ops/attention.py _use_nopad): raw logical
+    # shapes, Mosaic-internal alignment — targets the B>=64 pad/un-pad copy
+    # floor (BASELINE.md). PALLAS_BWD forced on so fwd+bwd both run no-pad.
+    "headline_nopad": dict(batch=8,   lo=4,  hi=24,  n=64,  epochs=5,
+                           target_steps=2560,
+                           env={"DOSTPU_ATTN_NOPAD": "1",
+                                "DOSTPU_ATTN_PALLAS_BWD": "1"}),
+    "b64_nopad":      dict(batch=64,  lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=1280,
+                           env={"DOSTPU_ATTN_NOPAD": "1"}),
+    "b128_nopad":     dict(batch=128, lo=4,  hi=24,  n=512, epochs=5,
+                           target_steps=640,
+                           env={"DOSTPU_ATTN_NOPAD": "1"}),
+    "b64_large_nopad": dict(batch=64, lo=64, hi=230, n=128, epochs=1,
+                            target_steps=48,
+                            env={"DOSTPU_ATTN_NOPAD": "1"}),
 }
 
 
@@ -129,6 +145,7 @@ def measure(name: str) -> dict:
     from dostransformer_tpu.train.trainer import Trainer
 
     cfg = CONFIGS[name]
+    os.environ.update(cfg.get("env", {}))  # kernel-path flags, read at trace
     batch = cfg["batch"]
     samples = synthetic_edos_samples(cfg["n"], seed=0, min_atoms=cfg["lo"],
                                      max_atoms=cfg["hi"])
@@ -178,6 +195,7 @@ def measure(name: str) -> dict:
         "bf16_data": bool(cfg.get("bf16_data")),
         "pad_bins": cfg.get("pad_bins", 0),
         "dtype": cfg.get("dtype", "float32"),
+        "env": cfg.get("env", {}),
         "samples_per_sec": round(sps, 1),
         "ms_per_step": round(1000.0 * batch / sps, 3),
         "dataset_mb": round(dds.nbytes() / 2**20, 1),
