@@ -95,33 +95,61 @@ CONFIGS = {
     "b64_large_nopad": dict(batch=64, lo=64, hi=230, n=128, epochs=1,
                             target_steps=48,
                             env={"DOSTPU_ATTN_NOPAD": "1"}),
+    # phDOS flagship (51 bins, SH edge geometry, scatter_mean MP): the
+    # reference trains it at batch_size=1 (/root/reference/main_phDOS.py:52)
+    # — the b1 row is that cadence on-device; b8/b64 are the batching
+    # headroom the fixed-shape GraphBatch design buys over the reference's
+    # hard batch-1 loop
+    "phdos_b1":  dict(family="phdos", batch=1,  lo=2, hi=12, n=64, epochs=5,
+                      target_steps=2560),
+    "phdos_b8":  dict(family="phdos", batch=8,  lo=2, hi=12, n=64, epochs=5,
+                      target_steps=2560),
+    "phdos_b64": dict(family="phdos", batch=64, lo=2, hi=12, n=512, epochs=5,
+                      target_steps=1280),
 }
 
 
-def analytic_flops(batch, a, e):
+def _family(cfg_or_name):
+    if isinstance(cfg_or_name, dict):
+        return cfg_or_name.get("family", "edos")
+    return cfg_or_name
+
+
+def analytic_flops(batch, a, e, family="edos"):
     """fwd+bwd+update FLOPs from XLA's cost model on the pure-XLA variant
     (Pallas custom calls are invisible to the model AND their one-hot
     gathers are implementation FLOPs that should not inflate MFU); cached
     per full config key."""
     key = f"b{batch}_h{HIDDEN}_l{LAYERS}_t{T_LAYERS}_a{a}_e{e}"
+    if family != "edos":
+        key = f"{family}_{key}"
     cache = {}
     if os.path.exists(FLOPS_CACHE):
         with open(FLOPS_CACHE) as f:
             cache = json.load(f)
     if key in cache:
         return cache[key]
-    from dostransformer_tpu.data import synthetic_edos_samples
+    from dostransformer_tpu.data import (synthetic_edos_samples,
+                                         synthetic_phdos_samples)
     from dostransformer_tpu.data.datasets import GraphLoader
-    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.models import (DOSTransformerEDOS,
+                                           DOSTransformerPhDOS)
     from dostransformer_tpu.train.trainer import Trainer
 
-    samples = synthetic_edos_samples(batch, seed=0, min_atoms=4, max_atoms=5)
+    if family == "phdos":
+        samples = synthetic_phdos_samples(batch, seed=0, min_atoms=4,
+                                          max_atoms=5)
+        model_cls = DOSTransformerPhDOS
+    else:
+        samples = synthetic_edos_samples(batch, seed=0, min_atoms=4,
+                                         max_atoms=5)
+        model_cls = DOSTransformerEDOS
     loader = GraphLoader(samples, batch_size=batch, atoms_per_graph=a,
                          edges_per_graph=e)
     batch0 = next(iter(loader))
-    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
-                               hidden=HIDDEN, use_pallas=False,
-                               use_fused_mp=False)
+    model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
+                      hidden=HIDDEN, use_pallas=False,
+                      use_fused_mp=False)
     trainer = Trainer(model, donate=False)
     state = trainer.init_state(batch0, seed=0)
     compiled = trainer._train_step.lower(state, batch0).compile()
@@ -138,24 +166,31 @@ def measure(name: str) -> dict:
     import jax.numpy as jnp
     import jax.random as jrandom
 
-    from dostransformer_tpu.data import synthetic_edos_samples
+    from dostransformer_tpu.data import (synthetic_edos_samples,
+                                         synthetic_phdos_samples)
     from dostransformer_tpu.data.datasets import GraphLoader
-    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.models import (DOSTransformerEDOS,
+                                           DOSTransformerPhDOS)
     from dostransformer_tpu.train.device_dataset import DeviceDataset
     from dostransformer_tpu.train.trainer import Trainer
 
     cfg = CONFIGS[name]
     os.environ.update(cfg.get("env", {}))  # kernel-path flags, read at trace
     batch = cfg["batch"]
-    samples = synthetic_edos_samples(cfg["n"], seed=0, min_atoms=cfg["lo"],
-                                     max_atoms=cfg["hi"])
+    family = _family(cfg)
+    sample_fn = (synthetic_phdos_samples if family == "phdos"
+                 else synthetic_edos_samples)
+    model_cls = (DOSTransformerPhDOS if family == "phdos"
+                 else DOSTransformerEDOS)
+    samples = sample_fn(cfg["n"], seed=0, min_atoms=cfg["lo"],
+                        max_atoms=cfg["hi"])
     loader = GraphLoader(samples, batch_size=batch, shuffle=True, seed=0)
     on_tpu = jax.default_backend() == "tpu"
-    model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS,
-                               hidden=HIDDEN, use_pallas=on_tpu,
-                               bins_pad=cfg.get("pad_bins"),
-                               dtype=cfg.get("dtype", "float32"),
-                               use_fused_mp=cfg.get("fused_mp"))
+    model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
+                      hidden=HIDDEN, use_pallas=on_tpu,
+                      bins_pad=cfg.get("pad_bins"),
+                      dtype=cfg.get("dtype", "float32"),
+                      use_fused_mp=cfg.get("fused_mp"))
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
     # enough samples that one multi-epoch dispatch hits target_steps
@@ -189,7 +224,7 @@ def measure(name: str) -> dict:
     dt = times[len(times) // 2]
     sps = cfg["epochs"] * dds.steps_per_epoch * batch / dt
     rec = {
-        "config": name, "batch": batch,
+        "config": name, "family": family, "batch": batch,
         "atoms_bucket": loader.atoms_per_graph,
         "edges_bucket": loader.edges_per_graph,
         "bf16_data": bool(cfg.get("bf16_data")),
@@ -202,7 +237,7 @@ def measure(name: str) -> dict:
     }
     try:
         flops = analytic_flops(batch, loader.atoms_per_graph,
-                               loader.edges_per_graph)
+                               loader.edges_per_graph, family)
         peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
         if flops and peak:
             rec["flops_per_step"] = flops
