@@ -94,6 +94,13 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
                         "bfloat16: halves the one-time upload and the "
                         "per-step gather traffic; targets/masks stay f32 "
                         "(convergence validated, BASELINE.md)")
+    p.add_argument("--bucketed", action="store_true",
+                   help="partition the training set by atom bucket and pad "
+                        "each group only to ITS bucket's shapes (vs the "
+                        "dataset-global maxima): on mixed-size corpora most "
+                        "batches run at a fraction of the global pad FLOPs. "
+                        "One scan dispatch per bucket per epoch; batches "
+                        "draw within buckets (length-bucketing semantics)")
     p.add_argument("--pad_bins", type=int, default=0, metavar="N",
                    help="run the energy-token axis lane-aligned at N (e.g. "
                         "256 for the 201 eDOS bins): attention shapes become "
@@ -165,6 +172,7 @@ def run_training(
     tensorboard: Optional[str] = None,
     pad_bins: int = 0,
     bf16_data: bool = False,
+    bucketed: bool = False,
     init_torch: Optional[str] = None,
     grad_clip: float = 0.0,
     warmup_epochs: int = 0,
@@ -186,8 +194,8 @@ def run_training(
                              results_dir,
                              export_preds, profile_dir, debug_nans, x64,
                              remat, host_loader, compile_cache, tensorboard,
-                             pad_bins, bf16_data, init_torch, grad_clip,
-                             warmup_epochs, cosine_lr)
+                             pad_bins, bf16_data, bucketed, init_torch,
+                             grad_clip, warmup_epochs, cosine_lr)
     finally:
         stop.restore()
 
@@ -213,11 +221,15 @@ def _run_training(
     tensorboard: Optional[str],
     pad_bins: int,
     bf16_data: bool,
+    bucketed: bool = False,
     init_torch: Optional[str] = None,
     grad_clip: float = 0.0,
     warmup_epochs: int = 0,
     cosine_lr: bool = False,
 ) -> dict:
+    if bucketed and host_loader:
+        raise ValueError("--bucketed requires the device-resident dataset "
+                         "pipeline; drop --host_loader")
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
     if x64:
@@ -410,14 +422,24 @@ def _run_training(
     shuffle_base = jax.random.PRNGKey(cfg.seed ^ 0x5EED)
     if not host_loader:
         # device-resident pipeline: upload once, shuffle+batch on device
-        from dostransformer_tpu.train.device_dataset import DeviceDataset
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset, DeviceDataset)
 
-        device_data = DeviceDataset.from_samples(
-            train, cfg.batch_size,
-            atoms_per_graph=loader.atoms_per_graph,
-            edges_per_graph=loader.edges_per_graph,
-            storage_dtype=jnp.bfloat16 if bf16_data else None,
-            sharding=trainer.dataset_sharding())
+        if bucketed:
+            device_data = BucketedDeviceDataset.from_samples(
+                train, cfg.batch_size,
+                storage_dtype=jnp.bfloat16 if bf16_data else None,
+                sharding=trainer.dataset_sharding())
+            kb = ", ".join(f"A={a}:{d.num_samples}"
+                           for a, d in device_data.buckets)
+            print(f"bucketed training: {kb}")
+        else:
+            device_data = DeviceDataset.from_samples(
+                train, cfg.batch_size,
+                atoms_per_graph=loader.atoms_per_graph,
+                edges_per_graph=loader.edges_per_graph,
+                storage_dtype=jnp.bfloat16 if bf16_data else None,
+                sharding=trainer.dataset_sharding())
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -442,16 +464,19 @@ def _run_training(
             chunk = bound - epoch
             if chunk != cfg.eval_every:
                 chunk = 1
+            epoch_fn = (trainer.train_epoch_buckets if bucketed
+                        else trainer.train_epoch_device)
+            epochs_fn = (trainer.train_epochs_buckets if bucketed
+                         else trainer.train_epochs_device)
             if chunk == 1:
-                state, losses, _ = trainer.train_epoch_device(
+                state, losses, _ = epoch_fn(
                     state, device_data,
                     jax.random.fold_in(shuffle_base, epoch))
                 losses = losses[None]
             else:
                 keys = jnp.stack([jax.random.fold_in(shuffle_base, e)
                                   for e in range(epoch, epoch + chunk)])
-                state, losses = trainer.train_epochs_device(
-                    state, device_data, keys)
+                state, losses = epochs_fn(state, device_data, keys)
             n_steps += int(losses.size)
         else:
             batches = list(loader)

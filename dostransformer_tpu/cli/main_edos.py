@@ -69,6 +69,7 @@ def main(argv=None):
                           tensorboard=args.tensorboard,
                           pad_bins=args.pad_bins,
                           bf16_data=args.bf16_data,
+                          bucketed=args.bucketed,
                           init_torch=args.init_torch,
                           grad_clip=args.grad_clip,
                           warmup_epochs=args.warmup_epochs,

@@ -77,3 +77,62 @@ class DeviceDataset(struct.PyTreeNode):
 
     def nbytes(self) -> int:
         return sum(x.nbytes for x in jax.tree.leaves(self.data))
+
+
+class BucketedDeviceDataset:
+    """Samples partitioned by ATOM bucket, one DeviceDataset per bucket.
+
+    The flat DeviceDataset pads every sample to the DATASET-GLOBAL atom/edge
+    buckets: a realistic mixed-size corpus (eDOS crystals span ~4-230 atoms,
+    SURVEY.md §3.3) then runs every batch at A_pad=256 even though most
+    crystals are small — 2-8x wasted FLOPs on the padded rows. This variant
+    applies the serving path's bucketing insight (serve.py groups requests by
+    atom bucket, measured 1.5x on mixed requests) to training: group samples
+    by `bucket_size(n_atoms)`, pad each group only to ITS bucket's shapes,
+    and run one scan dispatch per bucket per epoch (a handful of compiled
+    shapes, amortized like any other jit cache entry).
+
+    Epoch semantics: each bucket's samples are shuffled on device every epoch
+    (same `(seed, epoch)` key discipline as the flat path, folded per
+    bucket); batches are drawn WITHIN buckets, so batch composition differs
+    from a uniform global shuffle — the standard length-bucketing tradeoff
+    (reference N/A: its PyG loader shuffles uniformly but pays ragged-batch
+    recompilation instead). Every sample is still seen exactly once per
+    epoch; the masked loss ignores the per-bucket dummy pads.
+    """
+
+    def __init__(self, buckets):
+        # list of (atom_bucket, DeviceDataset), ascending by bucket
+        self.buckets = buckets
+
+    @classmethod
+    def from_samples(cls, samples: Sequence[GraphSample], batch_size: int,
+                     storage_dtype=None, sharding=None,
+                     ) -> "BucketedDeviceDataset":
+        from dostransformer_tpu.data.graph import bucket_size
+
+        groups: dict[int, list] = {}
+        for s in samples:
+            groups.setdefault(bucket_size(s.n_nodes), []).append(s)
+        buckets = [
+            (a, DeviceDataset.from_samples(
+                group, batch_size,
+                storage_dtype=storage_dtype, sharding=sharding))
+            for a, group in sorted(groups.items())
+        ]
+        return cls(buckets)
+
+    @property
+    def batch_size(self) -> int:
+        return self.buckets[0][1].batch_size
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return sum(d.steps_per_epoch for _, d in self.buckets)
+
+    @property
+    def num_samples(self) -> int:
+        return sum(d.num_samples for _, d in self.buckets)
+
+    def nbytes(self) -> int:
+        return sum(d.nbytes() for _, d in self.buckets)

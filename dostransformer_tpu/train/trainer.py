@@ -605,6 +605,33 @@ class Trainer:
         return fn(state, self.place_dataset(dataset),
                   self.replicate(epoch_keys))
 
+    def train_epoch_buckets(self, state: TrainState, bucketed, rng):
+        """One epoch over a BucketedDeviceDataset: one device dispatch per
+        atom bucket, each bucket's samples shuffled on device under a
+        per-bucket fold of `rng`. Returns (state, losses
+        [steps_per_epoch], rng) with per-step losses concatenated in
+        ascending-bucket order (train/device_dataset.py:BucketedDeviceDataset
+        for the batching semantics)."""
+        losses = []
+        for i, (_, dds) in enumerate(bucketed.buckets):
+            state, ls, _ = self.train_epoch_device(
+                state, dds, jax.random.fold_in(rng, i))
+            losses.append(ls)
+        return state, jnp.concatenate(losses), jax.random.split(rng)[0]
+
+    def train_epochs_buckets(self, state: TrainState, bucketed, epoch_keys):
+        """E epochs over a BucketedDeviceDataset — epochs outer, buckets
+        inner, so epoch boundaries are real. E*K dispatches (vs 1 for the
+        flat multi-epoch path); each is a full scan over its bucket, so the
+        fixed dispatch overhead stays amortized. Returns (state,
+        losses [E, steps_per_epoch])."""
+        out = []
+        for e in range(int(epoch_keys.shape[0])):
+            state, ls, _ = self.train_epoch_buckets(
+                state, bucketed, epoch_keys[e])
+            out.append(ls)
+        return state, jnp.stack(out)
+
     def train_epoch(self, state: TrainState, batches):
         """Run one scan-compiled epoch over a list of same-shape GraphBatches
         (or an already-stacked [S, B, ...] GraphBatch pytree). Returns

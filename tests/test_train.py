@@ -786,3 +786,142 @@ class TestDeviceEpochsUnderTP:
 
         np.testing.assert_allclose(np.asarray(losses1),
                                    np.asarray(losses_tp), rtol=2e-4)
+
+
+class TestBucketedTraining:
+    """Bucketed device training (train/device_dataset.py:
+    BucketedDeviceDataset): per-atom-bucket shapes instead of the
+    dataset-global pad — the training-side analogue of serving's bucketed
+    inference (reference N/A: its PyG loader re-pads per ragged batch)."""
+
+    @staticmethod
+    def _mixed_samples():
+        small = synthetic_edos_samples(10, seed=11, min_atoms=4, max_atoms=10)
+        large = synthetic_edos_samples(6, seed=12, min_atoms=40, max_atoms=60)
+        return small + large
+
+    def test_partition_covers_every_sample_once(self):
+        from dostransformer_tpu.data.graph import bucket_size
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset)
+
+        samples = self._mixed_samples()
+        b = BucketedDeviceDataset.from_samples(samples, batch_size=4)
+        real = sum(float(d.data.graph_mask.sum()) for _, d in b.buckets)
+        assert real == len(samples)
+        assert [a for a, _ in b.buckets] == sorted(
+            {bucket_size(s.n_nodes) for s in samples})
+        for a, d in b.buckets:
+            assert d.data.nodes.shape[1] == a
+            assert d.num_samples % 4 == 0
+        assert b.steps_per_epoch == sum(d.steps_per_epoch
+                                        for _, d in b.buckets)
+
+    def test_single_bucket_matches_flat_path(self):
+        """All samples in one atom bucket: the bucketed epoch must be
+        bit-identical to the flat DeviceDataset epoch under the same
+        per-bucket rng fold."""
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset, DeviceDataset)
+        from dostransformer_tpu.data.graph import collate
+
+        # n_nodes 10-15 (atoms + prompt node) -> every sample in bucket 16
+        samples = synthetic_edos_samples(8, seed=5, min_atoms=9, max_atoms=14)
+        bdds = BucketedDeviceDataset.from_samples(samples, batch_size=4)
+        assert len(bdds.buckets) == 1
+        flat = DeviceDataset.from_samples(samples, batch_size=4)
+
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, donate=False)
+        state0 = tr.init_state(collate(samples[:4]), seed=0)
+        rng = jax.random.PRNGKey(9)
+
+        sb, lb, _ = tr.train_epoch_buckets(state0, bdds, rng)
+        sf, lf, _ = tr.train_epoch_device(state0, flat,
+                                          jax.random.fold_in(rng, 0))
+        np.testing.assert_array_equal(np.asarray(lb), np.asarray(lf))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            sb.params, sf.params)
+
+    def test_mixed_sizes_train_and_decrease(self):
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset)
+
+        samples = self._mixed_samples()
+        bdds = BucketedDeviceDataset.from_samples(samples, batch_size=4)
+        assert len(bdds.buckets) >= 2
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model)
+        state = tr.init_state(collate(samples[:4]), seed=0)
+        rng = jax.random.PRNGKey(0)
+        first = last = None
+        for _ in range(3):
+            state, losses, rng = tr.train_epoch_buckets(state, bdds, rng)
+            assert losses.shape == (bdds.steps_per_epoch,)
+            assert np.isfinite(np.asarray(losses)).all()
+            if first is None:
+                first = float(losses.mean())
+            last = float(losses.mean())
+        assert last < first
+        assert int(state.step) == 3 * bdds.steps_per_epoch
+
+    def test_multi_epoch_matches_sequential(self):
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset)
+
+        samples = self._mixed_samples()
+        bdds = BucketedDeviceDataset.from_samples(samples, batch_size=4)
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32)
+        tr = Trainer(model, donate=False)
+        state0 = tr.init_state(collate(samples[:4]), seed=0)
+        keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(1), e)
+                          for e in range(2)])
+
+        sm, lm = tr.train_epochs_buckets(state0, bdds, keys)
+        ss = state0
+        seq = []
+        for e in range(2):
+            ss, ls, _ = tr.train_epoch_buckets(ss, bdds, keys[e])
+            seq.append(np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(lm), np.stack(seq))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            sm.params, ss.params)
+
+    def test_under_dp_mesh(self):
+        """Bucketed epochs under the pure-DP shard_map path: each bucket's
+        DeviceDataset is sample-axis sharded over the mesh; per-step batch
+        composition derives from shard-local shuffles (so it is NOT
+        compared against the single-device order — place_dataset docstring),
+        but the run must be finite, deterministic given the rng, and step
+        the optimizer once per global batch."""
+        from dostransformer_tpu.data.graph import collate
+        from dostransformer_tpu.train.device_dataset import (
+            BucketedDeviceDataset)
+
+        small = synthetic_edos_samples(16, seed=21, min_atoms=4, max_atoms=10)
+        large = synthetic_edos_samples(8, seed=22, min_atoms=40, max_atoms=60)
+        samples = small + large
+        model = DOSTransformerEDOS(layers=2, t_layers=1, hidden=32,
+                                   use_pallas=False)
+
+        mesh = make_mesh(axes=("data",))
+        tr8 = Trainer(model, mesh=mesh, donate=False)
+        s0 = tr8.init_state(collate(samples[:8]), seed=0)
+        b8 = BucketedDeviceDataset.from_samples(
+            samples, batch_size=8, sharding=tr8.dataset_sharding())
+        assert len(b8.buckets) >= 2
+
+        runs = []
+        for _ in range(2):
+            s8, l8, _ = tr8.train_epoch_buckets(s0, b8, jax.random.PRNGKey(2))
+            assert l8.shape == (b8.steps_per_epoch,)
+            assert np.isfinite(np.asarray(l8)).all()
+            assert int(s8.step) == b8.steps_per_epoch
+            runs.append(np.asarray(l8))
+        np.testing.assert_array_equal(runs[0], runs[1])
