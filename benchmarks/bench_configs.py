@@ -95,6 +95,25 @@ CONFIGS = {
     "b64_large_nopad": dict(batch=64, lo=64, hi=230, n=128, epochs=1,
                             target_steps=48,
                             env={"DOSTPU_ATTN_NOPAD": "1"}),
+    # nopad FORWARD only at small batch (bwd dispatch stays XLA at B=8):
+    # separates the fwd kernel's pad/unpad savings from the bwd tradeoff
+    "headline_nopad_fwdonly": dict(batch=8, lo=4, hi=24, n=64, epochs=5,
+                                   target_steps=2560,
+                                   env={"DOSTPU_ATTN_NOPAD": "1"}),
+    # bucketed training on a MIXED-size corpus (half 4-24 atoms, half
+    # 64-230): flat pads every batch to the global A=256/E=2816 envelope,
+    # bucketed runs each group at its own bucket (--bucketed; one dispatch
+    # per bucket per epoch — through the tunnel each dispatch adds ~30-55 ms
+    # RTT, so the bucketed numbers here are a LOWER bound on the
+    # direct-attached win)
+    "mixed_flat":     dict(batch=8,  mixed=True, n=256, epochs=2,
+                           target_steps=128),
+    "mixed_bucketed": dict(batch=8,  mixed=True, n=256, epochs=2,
+                           target_steps=128, bucketed=True),
+    "b64_mixed_flat": dict(batch=64, mixed=True, n=512, epochs=1,
+                           target_steps=24),
+    "b64_mixed_bucketed": dict(batch=64, mixed=True, n=512, epochs=1,
+                               target_steps=24, bucketed=True),
     # phDOS flagship (51 bins, SH edge geometry, scatter_mean MP): the
     # reference trains it at batch_size=1 (/root/reference/main_phDOS.py:52)
     # — the b1 row is that cadence on-device; b8/b64 are the batching
@@ -171,7 +190,8 @@ def measure(name: str) -> dict:
     from dostransformer_tpu.data.datasets import GraphLoader
     from dostransformer_tpu.models import (DOSTransformerEDOS,
                                            DOSTransformerPhDOS)
-    from dostransformer_tpu.train.device_dataset import DeviceDataset
+    from dostransformer_tpu.train.device_dataset import (BucketedDeviceDataset,
+                                                         DeviceDataset)
     from dostransformer_tpu.train.trainer import Trainer
 
     cfg = CONFIGS[name]
@@ -182,8 +202,14 @@ def measure(name: str) -> dict:
                  else synthetic_edos_samples)
     model_cls = (DOSTransformerPhDOS if family == "phdos"
                  else DOSTransformerEDOS)
-    samples = sample_fn(cfg["n"], seed=0, min_atoms=cfg["lo"],
-                        max_atoms=cfg["hi"])
+    if cfg.get("mixed"):
+        half = cfg["n"] // 2
+        samples = (sample_fn(half, seed=0, min_atoms=4, max_atoms=24)
+                   + sample_fn(cfg["n"] - half, seed=1,
+                               min_atoms=64, max_atoms=230))
+    else:
+        samples = sample_fn(cfg["n"], seed=0, min_atoms=cfg["lo"],
+                            max_atoms=cfg["hi"])
     loader = GraphLoader(samples, batch_size=batch, shuffle=True, seed=0)
     on_tpu = jax.default_backend() == "tpu"
     model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
@@ -196,11 +222,18 @@ def measure(name: str) -> dict:
     # enough samples that one multi-epoch dispatch hits target_steps
     per_rep_steps = cfg["epochs"] * len(samples) // batch
     reps = max(1, -(-cfg["target_steps"] // max(per_rep_steps, 1)))
-    dds = DeviceDataset.from_samples(
-        samples * reps, batch,
-        atoms_per_graph=loader.atoms_per_graph,
-        edges_per_graph=loader.edges_per_graph,
-        storage_dtype=jnp.bfloat16 if cfg.get("bf16_data") else None)
+    storage = jnp.bfloat16 if cfg.get("bf16_data") else None
+    if cfg.get("bucketed"):
+        dds = BucketedDeviceDataset.from_samples(samples * reps, batch,
+                                                 storage_dtype=storage)
+    else:
+        dds = DeviceDataset.from_samples(
+            samples * reps, batch,
+            atoms_per_graph=loader.atoms_per_graph,
+            edges_per_graph=loader.edges_per_graph,
+            storage_dtype=storage)
+    epochs_fn = (trainer.train_epochs_buckets if cfg.get("bucketed")
+                 else trainer.train_epochs_device)
 
     base = jrandom.PRNGKey(0)
 
@@ -210,13 +243,13 @@ def measure(name: str) -> dict:
 
     e = 0
     for _ in range(2):
-        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        state, losses = epochs_fn(state, dds, keys_at(e))
         e += cfg["epochs"]
         np.asarray(losses)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state, losses = trainer.train_epochs_device(state, dds, keys_at(e))
+        state, losses = epochs_fn(state, dds, keys_at(e))
         e += cfg["epochs"]
         np.asarray(losses)
         times.append(time.perf_counter() - t0)
@@ -235,15 +268,20 @@ def measure(name: str) -> dict:
         "ms_per_step": round(1000.0 * batch / sps, 3),
         "dataset_mb": round(dds.nbytes() / 2**20, 1),
     }
-    try:
-        flops = analytic_flops(batch, loader.atoms_per_graph,
-                               loader.edges_per_graph, family)
-        peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
-        if flops and peak:
-            rec["flops_per_step"] = flops
-            rec["mfu"] = round(flops * (sps / batch) / peak, 4)
-    except Exception as ex:  # MFU best-effort
-        rec["mfu_error"] = str(ex)[:200]
+    if cfg.get("bucketed"):
+        rec["buckets"] = {a: d.num_samples for a, d in dds.buckets}
+    if not cfg.get("mixed"):
+        # MFU is per-shape; a mixed corpus has no single analytic-FLOPs
+        # step (flat-vs-bucketed compares samples/s on identical samples)
+        try:
+            flops = analytic_flops(batch, loader.atoms_per_graph,
+                                   loader.edges_per_graph, family)
+            peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
+            if flops and peak:
+                rec["flops_per_step"] = flops
+                rec["mfu"] = round(flops * (sps / batch) / peak, 4)
+        except Exception as ex:  # MFU best-effort
+            rec["mfu_error"] = str(ex)[:200]
     return rec
 
 

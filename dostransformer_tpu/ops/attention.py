@@ -169,18 +169,27 @@ def _fwd_kernel_call(qb, kb, vb, biasb, *, d: int, tq: int):
     )(qb, kb, vb, biasb)
 
 
-def _use_nopad() -> bool:
-    """Opt-in no-pad kernel path (DOSTPU_ATTN_NOPAD=1): pass q/k/v/bias to
-    Pallas at their RAW logical shapes with full-dimension blocks and let
-    Mosaic handle the sublane/lane alignment internally. The explicit
-    _pad_operands copies exist because grid-tiled blocks that overrun an
-    array have unspecified out-of-bounds content (BASELINE.md B=64
-    burn-down); with block == full dim there IS no overrun — shapes are
-    logical and Mosaic masks its internal padding semantically. If this
-    compiles on real TPU it deletes the residual-format pads, the g pad and
-    the dq/dk/dv un-pads (the ~2.3 ms/step copy floor at B=64).
-    Differential-tested vs the padded path; perf to be measured on TPU."""
-    return os.environ.get("DOSTPU_ATTN_NOPAD") == "1"
+def _use_nopad(b: int) -> bool:
+    """No-pad kernel path: pass q/k/v/bias to Pallas at their RAW logical
+    shapes with full-dimension blocks and let Mosaic handle the sublane/lane
+    alignment internally. The explicit _pad_operands copies exist because
+    grid-tiled blocks that overrun an array have unspecified out-of-bounds
+    content (BASELINE.md B=64 burn-down); with block == full dim there IS no
+    overrun — shapes are logical and Mosaic masks its internal padding
+    semantically, deleting the residual-format pads, the g pad and the
+    dq/dk/dv un-pads (the ~2.3 ms/step copy floor at B=64).
+
+    DEFAULT at >= 64 batch elements, MEASURED on v5e (BASELINE.md round 3):
+    B=64 5,514 vs 5,285 samples/s, B=128 5,024 vs 4,613, large-crystal B=64
+    1,490 vs 1,458 — the no-pad fwd+bwd kernels beat both the padded-kernel
+    and XLA paths wherever the relayout copies dominate. At small batch the
+    padded fwd + XLA bwd combination stays ahead (headline B=8: 7,065 vs
+    6,473 with the forced no-pad bwd), so the gate matches _use_pallas_bwd.
+    DOSTPU_ATTN_NOPAD=1/0 forces either path."""
+    env = os.environ.get("DOSTPU_ATTN_NOPAD")
+    if env in ("0", "1"):
+        return env == "1"
+    return b >= 64
 
 
 def _vmem_rounded(rows: int, cols: int, itemsize: int) -> int:
@@ -250,7 +259,7 @@ def _fused_attention_bwd_nopad(q, k, v, bias, g):
 
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
-    if _use_nopad():
+    if _use_nopad(q.shape[0]):
         return _fwd_kernel_call_nopad(q, k, v, bias)
     b, lq, d = q.shape
     qb, kb, vb, biasb, tq = _pad_operands(q, k, v, bias, q_tile)
@@ -278,7 +287,7 @@ def _fused_attention(q, k, v, bias):
 
 
 def _fused_fwd(q, k, v, bias):
-    if _use_pallas_bwd(q.shape[0]) and not _use_nopad():
+    if _use_pallas_bwd(q.shape[0]) and not _use_nopad(q.shape[0]):
         # padded residuals: bias stays unpadded ([B, Lk] — tiny) so the
         # backward can recover the real Lk/Lq/D from (bias, g) shapes
         o, qb, kb, vb = _fused_attention_fwd_keep(q, k, v, bias)
@@ -411,7 +420,7 @@ def _softmax_attn_bwd(q, k, v, bias, g, scale):
 
 def _fused_bwd(res, g):
     if _use_pallas_bwd(g.shape[0]):
-        if _use_nopad():
+        if _use_nopad(g.shape[0]):
             q, k, v, bias = res  # raw residuals
             dq, dk, dv = _fused_attention_bwd_nopad(q, k, v, bias, g)
             return dq, dk, dv, None

@@ -171,6 +171,32 @@ class TestNopadAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_default_dispatch_at_64_elements(self, monkeypatch):
+        """At >= 64 batch elements the no-pad fwd+bwd kernels are the
+        DEFAULT (measured winner on v5e, BASELINE.md round 3 — no env
+        needed); numerics must equal the jnp reference."""
+        monkeypatch.delenv("DOSTPU_ATTN_NOPAD", raising=False)
+        monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD", raising=False)
+        rng = np.random.RandomState(9)
+        b, lq, lk, d = 64, 17, 33, 32
+        q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
+                   for n in (lq, lk, lk))
+        mask = jnp.array(rng.rand(b, lk) > 0.2)
+
+        out = fused_attention(q, k, v, mask)
+        loss = lambda *a: (fused_attention(*a, mask) ** 2).sum()
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        ref = dot_product_attention(q, k, v, mask)
+        ref_loss = lambda *a: (dot_product_attention(*a, mask) ** 2).sum()
+        ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b_ in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
     def test_nopad_unmasked(self, monkeypatch):
         rng = np.random.RandomState(8)
         b, lq, lk, d = 2, 51, 201, 64
