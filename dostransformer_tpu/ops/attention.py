@@ -56,7 +56,15 @@ def dot_product_attention(
                         preferred_element_type=acc) * scale
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, :], scores, NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    # The softmax runs at EXACTLY float32 at every input dtype: the genuine
+    # reference casts the scores with `.float()` (a DOWNCAST under its f64
+    # phDOS training) before softmax and casts back after
+    # (multihead_attention.py:69) — pinned against the real reference code in
+    # tests/test_reference_parity.py. DOSTPU_SOFTMAX_WIDE=1 promotes the
+    # softmax to the score dtype instead (used by the x64 oracle pins to
+    # isolate all non-softmax math at 1e-10).
+    sm = acc if os.environ.get("DOSTPU_SOFTMAX_WIDE") == "1" else jnp.float32
+    weights = jax.nn.softmax(scores.astype(sm), axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)

@@ -212,10 +212,21 @@ class TestX64Parity:
     """Flagship forwards under jax_enable_x64 vs the f64 torch oracle at
     ~1e-10: pins that f32 is the ONLY divergence from the reference's f64
     phDOS training (main_phDOS.py:14-16) — VERDICT r2 weak #5. The model
-    runs with dtype='float64' (params cast f64; LN/softmax promote)."""
+    runs with dtype='float64' (params cast f64; LN promotes).
+
+    Softmax note: the GENUINE reference softmaxes at exactly f32 even under
+    f64 (multihead_attention.py:69 `.float()` downcast — see
+    tests/test_reference_parity.py, which pins against the real code). Since
+    torch's and jax's f32 softmaxes differ at ~6e-8, a 1e-10 pin through a
+    truly-f32 softmax is impossible between libraries; these tests opt BOTH
+    sides into wide (operand-dtype) softmax to keep every OTHER op pinned at
+    1e-10. Reference-exact softmax semantics are covered by the genuine-code
+    test instead."""
 
     @pytest.fixture(autouse=True)
-    def x64(self):
+    def x64(self, monkeypatch):
+        monkeypatch.setenv("DOSTPU_SOFTMAX_WIDE", "1")
+        monkeypatch.setattr(oracle, "SOFTMAX_WIDE", True)
         jax.config.update("jax_enable_x64", True)
         try:
             yield
