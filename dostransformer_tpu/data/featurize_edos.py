@@ -170,21 +170,28 @@ def build_sample(
 
 
 def structure_from_cif(cif):
-    """CIF string -> (numbers, cart_coords, lattice); needs pymatgen
-    (offline-only, exactly like the reference's featurizer).
+    """CIF string -> (numbers, cart_coords, lattice).
 
-    A pre-parsed ``{"numbers", "cart_coords", "lattice"}`` dict passes
-    through pymatgen-free (the in-env migration format — converters that
-    already parsed the structure store records this way)."""
+    Accepts three forms:
+      * a pre-parsed ``{"numbers", "cart_coords", "lattice"}`` dict
+        (the in-env migration format — converters that already parsed the
+        structure store records this way);
+      * a CIF string, parsed with pymatgen when it is importable (exactly
+        the reference's path, mat2graph.py:121);
+      * a CIF string with NO pymatgen: the in-repo parser
+        (:mod:`dostransformer_tpu.data.cif`) handles the
+        Materials-Project-style subset — cell params, fractional coords,
+        symmetry-op expansion — so raw-CIF featurization runs
+        dependency-free."""
     if isinstance(cif, dict):
         return (np.asarray(cif["numbers"]), np.asarray(cif["cart_coords"]),
                 np.asarray(cif["lattice"]))
     try:
         from pymatgen.core.structure import Structure
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "CIF parsing requires pymatgen; pre-parse structures into "
-            "{'numbers', 'cart_coords', 'lattice'} dicts instead") from e
+    except ImportError:
+        from dostransformer_tpu.data.cif import parse_cif
+        d = parse_cif(cif)
+        return d["numbers"], d["cart_coords"], d["lattice"]
     s = Structure.from_str(cif, fmt="cif")
     return (np.array(s.atomic_numbers), np.array(s.cart_coords),
             np.array(s.lattice.matrix))
