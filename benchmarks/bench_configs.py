@@ -119,6 +119,14 @@ CONFIGS = {
     # — the b1 row is that cadence on-device; b8/b64 are the batching
     # headroom the fixed-shape GraphBatch design buys over the reference's
     # hard batch-1 loop
+    # scaled hidden (single-chip; the width TP is built for): exercises
+    # the fused-MP VMEM byte-budget tiling and the FFN-dominant regime
+    "h512":      dict(batch=8,  lo=4, hi=24, n=64, epochs=2,
+                      target_steps=512, hidden=512),
+    "h1024":     dict(batch=8,  lo=4, hi=24, n=64, epochs=1,
+                      target_steps=128, hidden=1024),
+    "b64_h512":  dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                      target_steps=128, hidden=512),
     "phdos_b1":  dict(family="phdos", batch=1,  lo=2, hi=12, n=64, epochs=5,
                       target_steps=2560),
     "phdos_b8":  dict(family="phdos", batch=8,  lo=2, hi=12, n=64, epochs=5,
@@ -134,12 +142,12 @@ def _family(cfg_or_name):
     return cfg_or_name
 
 
-def analytic_flops(batch, a, e, family="edos"):
+def analytic_flops(batch, a, e, family="edos", hidden=HIDDEN):
     """fwd+bwd+update FLOPs from XLA's cost model on the pure-XLA variant
     (Pallas custom calls are invisible to the model AND their one-hot
     gathers are implementation FLOPs that should not inflate MFU); cached
     per full config key."""
-    key = f"b{batch}_h{HIDDEN}_l{LAYERS}_t{T_LAYERS}_a{a}_e{e}"
+    key = f"b{batch}_h{hidden}_l{LAYERS}_t{T_LAYERS}_a{a}_e{e}"
     if family != "edos":
         key = f"{family}_{key}"
     cache = {}
@@ -167,7 +175,7 @@ def analytic_flops(batch, a, e, family="edos"):
                          edges_per_graph=e)
     batch0 = next(iter(loader))
     model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
-                      hidden=HIDDEN, use_pallas=False,
+                      hidden=hidden, use_pallas=False,
                       use_fused_mp=False)
     trainer = Trainer(model, donate=False)
     state = trainer.init_state(batch0, seed=0)
@@ -212,8 +220,9 @@ def measure(name: str) -> dict:
                             max_atoms=cfg["hi"])
     loader = GraphLoader(samples, batch_size=batch, shuffle=True, seed=0)
     on_tpu = jax.default_backend() == "tpu"
+    hidden = cfg.get("hidden", HIDDEN)
     model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
-                      hidden=HIDDEN, use_pallas=on_tpu,
+                      hidden=hidden, use_pallas=on_tpu,
                       bins_pad=cfg.get("pad_bins"),
                       dtype=cfg.get("dtype", "float32"),
                       use_fused_mp=cfg.get("fused_mp"))
@@ -258,6 +267,7 @@ def measure(name: str) -> dict:
     sps = cfg["epochs"] * dds.steps_per_epoch * batch / dt
     rec = {
         "config": name, "family": family, "batch": batch,
+        "hidden": hidden,
         "atoms_bucket": loader.atoms_per_graph,
         "edges_bucket": loader.edges_per_graph,
         "bf16_data": bool(cfg.get("bf16_data")),
@@ -275,7 +285,8 @@ def measure(name: str) -> dict:
         # step (flat-vs-bucketed compares samples/s on identical samples)
         try:
             flops = analytic_flops(batch, loader.atoms_per_graph,
-                                   loader.edges_per_graph, family)
+                                   loader.edges_per_graph, family,
+                                   hidden=hidden)
             peak = PEAK_FLOPS_BY_KIND.get(jax.devices()[0].device_kind)
             if flops and peak:
                 rec["flops_per_step"] = flops

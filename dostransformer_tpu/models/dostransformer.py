@@ -61,6 +61,9 @@ class _DOSTransformerBase(fnn.Module):
                                      # (ops/fused_mp.py, 28% faster train
                                      # step); None = auto: on for TPU when
                                      # hidden is a multiple of 128
+    tp_axis: Optional[str] = None    # Megatron-shard the transformer FFNs
+                                     # over this mesh axis (dp x tp; active
+                                     # only inside a shard_map binding it)
     bins_pad: Optional[int] = None   # run the energy-token axis at this
                                      # LANE-ALIGNED width (e.g. 256 for the
                                      # 201 eDOS bins): every attention call
@@ -100,7 +103,7 @@ class _DOSTransformerBase(fnn.Module):
         mk = lambda name: TransformerEncoder(
             embed_dim=self.hidden, num_heads=1, layers=self.t_layers,
             attn_dropout=self.attn_drop, use_pallas=self.use_pallas,
-            remat=self.remat, name=name)
+            tp_axis=self.tp_axis, remat=self.remat, name=name)
         return mk("transformer"), mk("transformer_self"), mk("transformer_source")
 
     @property

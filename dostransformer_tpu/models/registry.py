@@ -57,6 +57,7 @@ def build_model(
     remat: bool = False,
     use_fused_mp: Optional[bool] = None,
     bins_pad: Optional[int] = None,
+    tp_axis: Optional[str] = None,
 ):
     """Instantiate a model by (task, embedder) name.
 
@@ -85,4 +86,6 @@ def build_model(
         kwargs["use_fused_mp"] = use_fused_mp
     if bins_pad and "bins_pad" in cls.__dataclass_fields__:
         kwargs["bins_pad"] = bins_pad
+    if tp_axis and "tp_axis" in cls.__dataclass_fields__:
+        kwargs["tp_axis"] = tp_axis
     return cls(**kwargs)

@@ -32,6 +32,8 @@ from flax import linen as fnn
 
 from dostransformer_tpu.nn.init import xavier_uniform_init
 from dostransformer_tpu.nn.modules import LN_EPS
+from dostransformer_tpu.parallel.megatron import (axis_is_bound, tp_enter,
+                                                  tp_exit)
 from dostransformer_tpu.ops.attention import (
     dot_product_attention,
     fused_attention,
@@ -44,15 +46,36 @@ def _zeros_bias(key, shape, dtype=jnp.float32):
 
 
 class XavierLinear(fnn.Module):
-    """transformer.py:160-165 Linear: xavier_uniform weight, zero bias."""
+    """transformer.py:160-165 Linear: xavier_uniform weight, zero bias.
+
+    Tensor parallelism (both inert outside a shard_map binding the axis —
+    init and single-device apply see full shapes):
+      * ``col_axis`` marks a COLUMN-parallel layer: the rank's kernel/bias
+        hold features/tp of the outputs, so the expected param shapes are
+        the local shards (flax validates shapes at apply).
+      * ``psum_axis`` marks a ROW-parallel layer: the kernel seen at apply
+        is this rank's [shard, out] block (the input is already local, so
+        shapes line up), the matmul produces a partial sum, and the
+        Megatron `g` all-reduce completes it BEFORE the (replicated) bias
+        is added — adding bias per-rank would count it tp times."""
 
     features: int
+    col_axis: Optional[str] = None
+    psum_axis: Optional[str] = None
 
     @fnn.compact
     def __call__(self, x):
-        kernel = self.param("kernel", xavier_uniform_init, (x.shape[-1], self.features))
-        bias = self.param("bias", _zeros_bias, (self.features,))
-        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+        feats = self.features
+        if self.col_axis is not None and axis_is_bound(self.col_axis):
+            tp = jax.lax.axis_size(self.col_axis)
+            assert feats % tp == 0, (feats, tp)
+            feats = feats // tp
+        kernel = self.param("kernel", xavier_uniform_init, (x.shape[-1], feats))
+        bias = self.param("bias", _zeros_bias, (feats,))
+        y = x @ kernel.astype(x.dtype)
+        if self.psum_axis is not None and axis_is_bound(self.psum_axis):
+            y = tp_exit(y, self.psum_axis)
+        return y + bias.astype(x.dtype)
 
 
 class TransformerEncoderLayer(fnn.Module):
@@ -62,6 +85,9 @@ class TransformerEncoderLayer(fnn.Module):
     relu_dropout: float = 0.0
     res_dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    tp_axis: Optional[str] = None  # Megatron-shard the FFN over this mesh
+                                   # axis (active only inside a shard_map
+                                   # binding it; identity otherwise)
 
     @fnn.compact
     def __call__(self, x, x_k, x_v, key_mask=None, deterministic: bool = True):
@@ -133,9 +159,19 @@ class TransformerEncoderLayer(fnn.Module):
         # (x64 CPU parity runs) stay f64
         h = fnn.LayerNorm(epsilon=LN_EPS, dtype=None,
                           name="ln1")(x).astype(x.dtype)
-        h = jax.nn.relu(XavierLinear(4 * self.embed_dim, name="fc1")(h))
+        # Megatron FFN sharding (SURVEY §2.5 TP row): fc1 column-parallel,
+        # fc2 row-parallel. tp_enter/tp_exit are the f/g conjugate
+        # all-reduces; both are identity when tp_axis is unset or unbound
+        # (init, single-device apply), so this is ONE code path.
+        tp = (self.tp_axis
+              if self.tp_axis is not None and axis_is_bound(self.tp_axis)
+              else None)
+        if tp is not None:
+            h = tp_enter(h, tp)
+        h = jax.nn.relu(
+            XavierLinear(4 * self.embed_dim, col_axis=tp, name="fc1")(h))
         h = fnn.Dropout(self.relu_dropout, name="relu_drop")(h, deterministic=deterministic)
-        h = XavierLinear(self.embed_dim, name="fc2")(h)
+        h = XavierLinear(self.embed_dim, psum_axis=tp, name="fc2")(h)
         h = fnn.Dropout(self.res_dropout, name="res_drop1")(h, deterministic=deterministic)
         return residual + h
 
@@ -163,6 +199,7 @@ class TransformerEncoder(fnn.Module):
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     use_pallas: Optional[bool] = None
+    tp_axis: Optional[str] = None
     remat: bool = False  # rematerialize each layer in the backward pass
                          # (jax.checkpoint: trade FLOPs for activation memory)
 
@@ -195,7 +232,7 @@ class TransformerEncoder(fnn.Module):
             x = layer_cls(
                 self.embed_dim, self.num_heads, self.attn_dropout,
                 self.relu_dropout, self.res_dropout, self.use_pallas,
-                name=f"layer{i}",
+                self.tp_axis, name=f"layer{i}",
             )(x, x_k, x_v, key_mask, deterministic)
 
         return fnn.LayerNorm(epsilon=LN_EPS, dtype=None,

@@ -202,6 +202,15 @@ def _fixed_bytes(m: int, h: int, a_pad: int) -> int:
     return 4 * (4 * a_pad * m + a_pad * h + 2 * m * h)
 
 
+# Mosaic's default per-kernel scoped-VMEM guard is ~16 MB; _tile_bytes is an
+# ESTIMATE and was measured ~20% low on the bwd kernel at (B=64, A_pad=128,
+# E=1536, m=512): actual 17.18 MB vs 14.08 estimated -> compile failure at
+# the default guard. Raising the guard (v5e has 128 MB VMEM; this is a limit
+# check, not an allocation) gives the estimator real headroom WITHOUT
+# changing any tile choice the 14 MB budget makes.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+
+
 def _pick_tile_e(e: int, m: int, h: int, a_pad: int) -> int:
     """One edge tile per graph when it fits VMEM (grid (B, 1): fewer kernel
     invocations and zero tile-padding waste — measured fwd 24.5 vs
@@ -278,6 +287,7 @@ def _fused_fwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
             jax.ShapeDtypeStruct((b, a_pad, h), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(s, r, mk, sp, dp, ep, ln_scale[None], ln_bias[None], alpha[None, :1],
       w1, b1[None])
     return eout[:, :e], agg[:, :a].astype(src_proj.dtype)
@@ -349,6 +359,7 @@ def _fused_bwd_call(src_proj, dst_proj, edge_proj, senders, receivers,
             jax.ShapeDtypeStruct((1, 1, h), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_VMEM_LIMIT,
     )(s, r, mk, sp, dp, ep, ln_scale[None], ln_bias[None], alpha[None, :1],
       w1, geo, gag)
     gsp, gdp, gep, glns, glnb, galpha, gw1, gb1 = outs
