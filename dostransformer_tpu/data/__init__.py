@@ -15,6 +15,10 @@ from dostransformer_tpu.data.datasets import (  # noqa: F401
     read_index_file,
     train_test_split,
 )
+from dostransformer_tpu.data.split_viz import (  # noqa: F401
+    element_representation,
+    split_element_statistics,
+)
 from dostransformer_tpu.data.synthetic import (  # noqa: F401
     synthetic_edos_samples,
     synthetic_phdos_samples,

@@ -222,6 +222,54 @@ class TestSplitsAndLoader:
             collate(samples, atoms_per_graph=1)
 
 
+class TestSplitVisualization:
+    """element_representation + split statistics (utils.py:176,243-245)."""
+
+    def _species(self, n=40, seed=3):
+        rng = np.random.RandomState(seed)
+        elements = ["H", "O", "Si", "Fe", "Al", "Na", "Cl"]
+        return [sorted(rng.choice(elements, size=rng.randint(1, 4),
+                                  replace=False)) for _ in range(n)]
+
+    def test_element_representation_matches_reference_expression(self):
+        from dostransformer_tpu.data.split_viz import element_representation
+
+        rng = np.random.RandomState(0)
+        x = list(rng.choice(100, size=17, replace=False))
+        idx = list(rng.choice(100, size=40, replace=False))
+        # utils.py:245 verbatim
+        want = len([k for k in x if k in idx]) / len(x)
+        assert element_representation(x, idx) == want
+        assert element_representation([], idx) == 0.0
+
+    def test_statistics_fractions_partition_to_one(self):
+        from dostransformer_tpu.data.split_viz import split_element_statistics
+
+        species = self._species()
+        tr, va, te = element_balanced_split(species, 0.1, 0.1, seed=12)
+        stats = split_element_statistics(
+            species, {"train": tr, "valid": va, "test": te})
+        total = sum(stats["fractions"][k] for k in ("train", "valid", "test"))
+        np.testing.assert_allclose(total, 1.0)  # splits partition all samples
+        # counts: every element of every sample is tallied exactly once
+        assert int(stats["counts"].sum()) == sum(
+            len(set(row)) for row in species)
+        assert stats["species"] == sorted({s for r in species for s in r})
+
+    def test_plot_writes_png(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from dostransformer_tpu.data.split_viz import (
+            plot_split_statistics, split_element_statistics)
+
+        species = self._species()
+        tr, va, te = element_balanced_split(species, 0.1, 0.1, seed=12)
+        stats = split_element_statistics(
+            species, {"train": tr, "valid": va, "test": te})
+        out = plot_split_statistics(stats, str(tmp_path / "splits.png"),
+                                    per_row=4)  # exercise row wrapping
+        assert os.path.getsize(out) > 1000
+
+
 class TestMatscholarTable:
     """The bundled element-embedding table (public matscholar data; the
     reference ships the identical table as data/matscholar-embedding.json,
