@@ -127,6 +127,15 @@ CONFIGS = {
                       target_steps=128, hidden=1024),
     "b64_h512":  dict(batch=64, lo=4, hi=24, n=512, epochs=1,
                       target_steps=128, hidden=512),
+    # remat vs the B>=64 residual-relayout copy floor: the HLO at B=64 shows
+    # ~8 relayout copies of f32[2B,201,256] residuals feeding the FFN
+    # backward; remat recomputes layers instead of storing those residuals,
+    # trading HBM copy traffic for MXU recompute (MFU still counts
+    # useful-FLOPs only, so a win shows up as higher samples/s AND mfu)
+    "b64_remat":  dict(batch=64,  lo=4, hi=24, n=512, epochs=1,
+                       target_steps=128, remat=True),
+    "b128_remat": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
+                       target_steps=64, remat=True),
     "phdos_b1":  dict(family="phdos", batch=1,  lo=2, hi=12, n=64, epochs=5,
                       target_steps=2560),
     "phdos_b8":  dict(family="phdos", batch=8,  lo=2, hi=12, n=64, epochs=5,
@@ -225,7 +234,8 @@ def measure(name: str) -> dict:
                       hidden=hidden, use_pallas=on_tpu,
                       bins_pad=cfg.get("pad_bins"),
                       dtype=cfg.get("dtype", "float32"),
-                      use_fused_mp=cfg.get("fused_mp"))
+                      use_fused_mp=cfg.get("fused_mp"),
+                      remat=cfg.get("remat", False))
     trainer = Trainer(model)
     state = trainer.init_state(next(iter(loader)), seed=0)
     # enough samples that one multi-epoch dispatch hits target_steps
