@@ -50,6 +50,62 @@ def stack_batches(batches) -> GraphBatch:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
+def compiler_options_from_env() -> Optional[dict]:
+    """Per-compile XLA option overrides from DOSTPU_COMPILER_OPTIONS.
+
+    Format: comma-separated `name=value` pairs, e.g.
+    ``DOSTPU_COMPILER_OPTIONS="xla_tpu_scoped_vmem_limit_kib=65536"``.
+    Values parse as bool ("true"/"false"), then int, then float, else
+    stay strings. These ride jax.jit(compiler_options=...) straight into
+    the backend compiler's DebugOptions — the only way to reach libtpu's
+    TPU-specific flags (xla_tpu_*) from client code: the XLA_FLAGS env
+    parser only knows the open-source flag set and rejects them, and
+    LIBTPU_INIT_ARGS is server-side. Unknown names fail the first compile
+    loudly (INVALID_ARGUMENT), which is the right behavior for a tuning
+    knob. Applied to every Trainer jit (train/eval/epoch, DP and single
+    device); used by benchmarks/bench_configs.py for XLA flag sweeps."""
+    import os
+
+    raw = os.environ.get("DOSTPU_COMPILER_OPTIONS", "").strip()
+    if not raw:
+        return None
+    opts: dict = {}
+    for pair in raw.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        name, _, value = pair.partition("=")
+        if not _:
+            raise ValueError(
+                f"DOSTPU_COMPILER_OPTIONS entry {pair!r} is not name=value")
+        v: Any = value
+        low = value.lower()
+        if low in ("true", "false"):
+            v = low == "true"
+        else:
+            try:
+                v = int(value)
+            except ValueError:
+                try:
+                    v = float(value)
+                except ValueError:
+                    pass
+        opts[name.strip()] = v
+    return opts or None
+
+
+def _jit(fn, **kwargs):
+    """jax.jit with the DOSTPU_COMPILER_OPTIONS overrides (if any) applied.
+
+    The env is re-read per call site construction (not import time) so a
+    sweep driver can flip options between Trainer constructions in one
+    process."""
+    opts = compiler_options_from_env()
+    if opts:
+        kwargs.setdefault("compiler_options", opts)
+    return jax.jit(fn, **kwargs)
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -502,12 +558,12 @@ class Trainer:
                     return
                 specs = self.state_pspecs(state)
                 built["specs"] = specs
-                built["ts"] = jax.jit(
+                built["ts"] = _jit(
                     jax.shard_map(dp_train_step, mesh=mesh,
                                   in_specs=(specs, P(axis)),
                                   out_specs=(specs, P()), check_vma=False),
                     donate_argnums=donate)
-                built["te"] = jax.jit(
+                built["te"] = _jit(
                     jax.shard_map(dp_train_epoch, mesh=mesh,
                                   in_specs=(specs, P(None, axis)),
                                   out_specs=(specs, P()), check_vma=False),
@@ -534,7 +590,7 @@ class Trainer:
                     if key not in built:
                         # data in_spec P(axis): the dataset's SAMPLE axis is
                         # sharded — each data-rank gets its local block
-                        built[key] = jax.jit(
+                        built[key] = _jit(
                             jax.shard_map(fn, mesh=mesh,
                                           in_specs=(built["specs"], P(axis),
                                                     P()),
@@ -554,7 +610,7 @@ class Trainer:
                     _ensure_train(state)
                     key = ("eds", steps, batch_size)
                     if key not in built:
-                        built[key] = jax.jit(
+                        built[key] = _jit(
                             jax.shard_map(fn, mesh=mesh,
                                           in_specs=(built["specs"], P(axis),
                                                     P()),
@@ -576,11 +632,11 @@ class Trainer:
                 else:
                     psp = jax.tree_util.tree_map_with_path(
                         lambda path, leaf: self._param_spec(path), params)
-                built["es"] = jax.jit(
+                built["es"] = _jit(
                     jax.shard_map(eval_step, mesh=mesh,
                                   in_specs=(psp, P(axis)),
                                   out_specs=P(axis), check_vma=False))
-                built["ee"] = jax.jit(
+                built["ee"] = _jit(
                     jax.shard_map(eval_epoch, mesh=mesh,
                                   in_specs=(psp, P(None, axis)),
                                   out_specs=P(None, axis), check_vma=False))
@@ -597,27 +653,27 @@ class Trainer:
             self._eval_epoch = eval_epoch_entry
         else:
             # single device: shardings propagate from the input placement
-            self._train_step = jax.jit(train_step, donate_argnums=donate)
-            self._train_epoch = jax.jit(train_epoch, donate_argnums=donate)
+            self._train_step = _jit(train_step, donate_argnums=donate)
+            self._train_epoch = _jit(train_epoch, donate_argnums=donate)
 
             def make_epoch_device(steps: int, batch_size: int):
                 import functools
 
                 fn = functools.partial(train_epoch_device, steps=steps,
                                        batch_size=batch_size)
-                return jax.jit(fn, donate_argnums=donate)
+                return _jit(fn, donate_argnums=donate)
 
             def make_epochs_device(steps: int, batch_size: int):
                 import functools
 
                 fn = functools.partial(train_epochs_device, steps=steps,
                                        batch_size=batch_size)
-                return jax.jit(fn, donate_argnums=donate)
+                return _jit(fn, donate_argnums=donate)
 
             self._make_epoch_device = make_epoch_device
             self._make_epochs_device = make_epochs_device
-            self._eval_step = jax.jit(eval_step)
-            self._eval_epoch = jax.jit(eval_epoch)
+            self._eval_step = _jit(eval_step)
+            self._eval_epoch = _jit(eval_epoch)
         self._epoch_device_cache = {}
 
     def _check_dp_batch(self, batch_size: int):

@@ -284,6 +284,53 @@ class TestRemat:
                                        rtol=1e-5, atol=1e-7)
 
 
+class TestCompilerOptions:
+    def test_env_parsing(self, monkeypatch):
+        from dostransformer_tpu.train.trainer import compiler_options_from_env
+
+        monkeypatch.setenv(
+            "DOSTPU_COMPILER_OPTIONS",
+            "xla_tpu_scoped_vmem_limit_kib=65536, xla_flag_b=TRUE,"
+            "xla_flag_f=1.5,xla_flag_s=enabled:foo")
+        assert compiler_options_from_env() == {
+            "xla_tpu_scoped_vmem_limit_kib": 65536,
+            "xla_flag_b": True,
+            "xla_flag_f": 1.5,
+            "xla_flag_s": "enabled:foo",
+        }
+        monkeypatch.setenv("DOSTPU_COMPILER_OPTIONS", "")
+        assert compiler_options_from_env() is None
+        monkeypatch.setenv("DOSTPU_COMPILER_OPTIONS", "notapair")
+        with pytest.raises(ValueError):
+            compiler_options_from_env()
+
+    def test_train_step_runs_under_override(self, tiny_edos, monkeypatch):
+        """A valid backend option rides Trainer's jits end-to-end, and the
+        numerics are unchanged (overrides only retune the compiler)."""
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        model = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32)
+
+        tr0 = Trainer(model, donate=False)
+        s0, m0 = tr0.train_step(tr0.init_state(batch, seed=0), batch)
+
+        monkeypatch.setenv("DOSTPU_COMPILER_OPTIONS",
+                           "xla_cpu_enable_fast_math=false")
+        tr1 = Trainer(model, donate=False)
+        s1, m1 = tr1.train_step(tr1.init_state(batch, seed=0), batch)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+
+    def test_unknown_option_fails_loudly(self, tiny_edos, monkeypatch):
+        _, loader = tiny_edos
+        batch = next(iter(loader))
+        model = DOSTransformerEDOS(layers=1, t_layers=1, hidden=32)
+        monkeypatch.setenv("DOSTPU_COMPILER_OPTIONS", "xla_no_such_option=1")
+        tr = Trainer(model, donate=False)
+        with pytest.raises(Exception, match="(?i)no such|invalid|unknown"):
+            tr.train_step(tr.init_state(batch, seed=0), batch)
+
+
 class TestScanEpoch:
     def test_matches_per_step(self, tiny_edos):
         """The scan-compiled epoch must produce the same loss trajectory as
