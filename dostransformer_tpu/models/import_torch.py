@@ -154,6 +154,8 @@ def _is_dead_reference_key(key: str, template_tops: set) -> bool:
         return True
     if key == "alpha":
         return True
+    if key == "version" or key.endswith(".version"):
+        return True  # fairseq-style format buffer (layers/transformer.py:41)
     if key.startswith("GN_decoder.") and "GN_decoder" not in template_tops:
         return True  # Graphnetwork2 creates a Decoder it never calls
     return False
