@@ -1,0 +1,153 @@
+"""Faithful torch shims for the reference's uninstallable dependencies, plus
+a context manager that imports GENUINE /root/reference modules against them.
+
+Used by tests/test_reference_model_parity.py (model forwards) and
+tests/test_reference_utils_parity.py (eval loops + splitter).  Each shim is a
+tiny, exactly-specified op; see the test-file docstrings for the honesty
+accounting of what remains builder-authored.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import math
+import sys
+import types
+
+import torch
+
+REF_ROOT = "/root/reference"
+
+
+def scatter_sum(src, index, dim=0, dim_size=None):
+    """torch_scatter.scatter_sum via index_add (deterministic on CPU)."""
+    if dim_size is None:
+        dim_size = int(index.max()) + 1
+    shape = list(src.shape)
+    shape[dim] = dim_size
+    return src.new_zeros(shape).index_add(dim, index, src)
+
+
+def scatter_mean(src, index, dim=0, dim_size=None):
+    total = scatter_sum(src, index, dim, dim_size)
+    count = scatter_sum(torch.ones_like(src), index, dim, dim_size)
+    return total / count.clamp(min=1.0)
+
+
+def to_dense_batch(x, batch=None, fill_value=0.0):
+    """PyG to_dense_batch for sorted batch vectors: [N, F] -> [B, max, F]."""
+    b = int(batch.max()) + 1
+    counts = torch.bincount(batch, minlength=b)
+    m = int(counts.max())
+    ptr = torch.cumsum(counts, 0) - counts
+    pos = torch.arange(x.size(0)) - ptr[batch]
+    out = x.new_full((b, m, x.size(-1)), fill_value)
+    mask = torch.zeros(b, m, dtype=torch.bool)
+    out[batch, pos] = x
+    mask[batch, pos] = True
+    return out, mask
+
+
+def sh_l1(irreps, vec, normalize, normalization="component"):
+    """o3.spherical_harmonics(l<=1, normalize=True, 'component') — the same
+    closed form as ops/geometry.spherical_harmonics_l1, in torch.  This one
+    IS circular with our implementation (e3nn is not installable in-env —
+    PARITY.md "Known gaps")."""
+    assert normalization == "component"
+    r = vec.norm(dim=-1, keepdim=True)
+    unit = vec / r.clamp(min=1e-12) if normalize else vec
+    return torch.cat([torch.ones_like(r), math.sqrt(3.0) * unit], dim=-1)
+
+
+def smooth_cutoff(x):
+    u = 2.0 * (x - 1.0)
+    y = (1.0 - torch.cos(math.pi * u)) / 2.0
+    y = torch.where(u > 0.0, torch.zeros_like(y), y)
+    y = torch.where(u < -1.0, torch.ones_like(y), y)
+    return y
+
+
+def _radius_graph(*a, **k):  # dead fallback path (SURVEY §2.2) — loud
+    raise AssertionError("reference radius_graph fallback should be dead")
+
+
+def _module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _build_shims():
+    shims = {}
+    shims["torch_scatter"] = _module(
+        "torch_scatter", scatter_sum=scatter_sum, scatter_mean=scatter_mean)
+
+    class _Data:  # utils.py build_data constructs these; never run in tests
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    tg_utils = _module("torch_geometric.utils", to_dense_batch=to_dense_batch)
+    tg_data = _module("torch_geometric.data", Data=_Data)
+    tg = _module("torch_geometric", utils=tg_utils, data=tg_data)
+    shims.update({"torch_geometric": tg, "torch_geometric.utils": tg_utils,
+                  "torch_geometric.data": tg_data})
+
+    class _Irreps:
+        @staticmethod
+        def spherical_harmonics(lmax):
+            assert lmax == 1
+            return "1x0e+1x1o"
+
+    o3 = _module("e3nn.o3", spherical_harmonics=sh_l1, Irreps=_Irreps)
+    gp = _module("e3nn.nn.models.gate_points_2101", smooth_cutoff=smooth_cutoff)
+    e3nn_models = _module("e3nn.nn.models", gate_points_2101=gp)
+    e3nn_nn = _module("e3nn.nn", models=e3nn_models)
+    e3nn = _module("e3nn", o3=o3, nn=e3nn_nn)
+    shims.update({"e3nn": e3nn, "e3nn.o3": o3, "e3nn.nn": e3nn_nn,
+                  "e3nn.nn.models": e3nn_models,
+                  "e3nn.nn.models.gate_points_2101": gp})
+
+    shims["torch_cluster"] = _module("torch_cluster",
+                                     radius_graph=_radius_graph)
+
+    def _ase_stub(*a, **k):  # utils.build_data only; never run in tests
+        raise AssertionError("ASE paths are not exercised by parity tests")
+
+    ase_nl = _module("ase.neighborlist", neighbor_list=_ase_stub)
+    ase = _module("ase", Atoms=_ase_stub, Atom=_ase_stub, neighborlist=ase_nl)
+    shims.update({"ase": ase, "ase.neighborlist": ase_nl})
+    return shims
+
+
+@contextlib.contextmanager
+def reference_imports(*module_names):
+    """Install the shims, freshly import the named /root/reference modules,
+    yield them (one module or a tuple), then restore sys.modules/sys.path —
+    pre-existing entries (e.g. test_convert_pt's fake torch_geometric) are
+    put back exactly as they were."""
+    shims = _build_shims()
+    ref_mods = ["layers", "layers.transformer", "layers.multihead_attention",
+                *module_names]
+    saved = {n: sys.modules.get(n) for n in list(shims) + ref_mods}
+    # parent packages of the requested modules must re-import too
+    for n in module_names:
+        parent = n.partition(".")[0]
+        if parent not in saved:
+            saved[parent] = sys.modules.get(parent)
+            ref_mods.append(parent)
+    sys.modules.update(shims)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        for n in ref_mods:  # force fresh imports against the shims
+            sys.modules.pop(n, None)
+        mods = tuple(importlib.import_module(n) for n in module_names)
+        yield mods[0] if len(mods) == 1 else mods
+    finally:
+        sys.path.remove(REF_ROOT)
+        for n, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = prev

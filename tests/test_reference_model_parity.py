@@ -43,9 +43,6 @@ differs at ~6e-8); 1e-9/1e-10 for the attention-free baselines, which should
 agree to f64 roundoff.
 """
 
-import math
-import sys
-import types
 from types import SimpleNamespace
 
 import numpy as np
@@ -55,6 +52,8 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+from tests.refshims import reference_imports
 
 from dostransformer_tpu.data import (
     collate,
@@ -70,139 +69,27 @@ from dostransformer_tpu.models.import_torch import import_reference_state_dict
 from dostransformer_tpu.models.mlp import MLPEDOS
 from dostransformer_tpu.models.phonon_baselines import GraphnetworkPhDOS
 
-REF_ROOT = "/root/reference"
-
 H = 32   # hidden (small: the genuine energy tables are hard-coded 201/51 rows)
 L = 2    # GNN layers
 T = 2    # transformer layers
 
 
-# ---------------------------------------------------------------------------
-# shims for the reference's native-dependency imports
-# ---------------------------------------------------------------------------
-
-def _scatter_sum(src, index, dim=0, dim_size=None):
-    if dim_size is None:
-        dim_size = int(index.max()) + 1
-    shape = list(src.shape)
-    shape[dim] = dim_size
-    return src.new_zeros(shape).index_add(dim, index, src)
-
-
-def _scatter_mean(src, index, dim=0, dim_size=None):
-    total = _scatter_sum(src, index, dim, dim_size)
-    count = _scatter_sum(torch.ones_like(src), index, dim, dim_size)
-    return total / count.clamp(min=1.0)
-
-
-def _to_dense_batch(x, batch=None, fill_value=0.0):
-    """PyG to_dense_batch for sorted batch vectors: [N, F] -> [B, max, F]."""
-    b = int(batch.max()) + 1
-    counts = torch.bincount(batch, minlength=b)
-    m = int(counts.max())
-    ptr = torch.cumsum(counts, 0) - counts
-    pos = torch.arange(x.size(0)) - ptr[batch]
-    out = x.new_full((b, m, x.size(-1)), fill_value)
-    mask = torch.zeros(b, m, dtype=torch.bool)
-    out[batch, pos] = x
-    mask[batch, pos] = True
-    return out, mask
-
-
-def _sh_l1(irreps, vec, normalize, normalization="component"):
-    """o3.spherical_harmonics(l<=1, normalize=True, 'component') — the same
-    closed form as ops/geometry.spherical_harmonics_l1, in torch."""
-    assert normalization == "component"
-    r = vec.norm(dim=-1, keepdim=True)
-    unit = vec / r.clamp(min=1e-12) if normalize else vec
-    return torch.cat([torch.ones_like(r), math.sqrt(3.0) * unit], dim=-1)
-
-
-def _smooth_cutoff(x):
-    u = 2.0 * (x - 1.0)
-    y = (1.0 - torch.cos(math.pi * u)) / 2.0
-    y = torch.where(u > 0.0, torch.zeros_like(y), y)
-    y = torch.where(u < -1.0, torch.ones_like(y), y)
-    return y
-
-
-def _module(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    return mod
-
-
 @pytest.fixture(scope="module")
 def ref():
-    """Install dependency shims, import the genuine reference model modules,
-    restore sys.modules afterwards."""
-    shims = {}
-    shims["torch_scatter"] = _module(
-        "torch_scatter", scatter_sum=_scatter_sum, scatter_mean=_scatter_mean)
-    tg = _module("torch_geometric")
-    tg_utils = _module("torch_geometric.utils", to_dense_batch=_to_dense_batch)
-    tg.utils = tg_utils
-    shims["torch_geometric"] = tg
-    shims["torch_geometric.utils"] = tg_utils
-
-    class _Irreps:
-        @staticmethod
-        def spherical_harmonics(lmax):
-            assert lmax == 1
-            return "1x0e+1x1o"
-
-    o3 = _module("e3nn.o3", spherical_harmonics=_sh_l1, Irreps=_Irreps)
-    gp = _module("e3nn.nn.models.gate_points_2101", smooth_cutoff=_smooth_cutoff)
-    e3nn_models = _module("e3nn.nn.models", gate_points_2101=gp)
-    e3nn_nn = _module("e3nn.nn", models=e3nn_models)
-    e3nn = _module("e3nn", o3=o3, nn=e3nn_nn)
-    shims.update({"e3nn": e3nn, "e3nn.o3": o3, "e3nn.nn": e3nn_nn,
-                  "e3nn.nn.models": e3nn_models,
-                  "e3nn.nn.models.gate_points_2101": gp})
-
-    def _radius_graph(*a, **k):  # dead fallback path (SURVEY §2.2) — loud
-        raise AssertionError("reference radius_graph fallback should be dead")
-
-    shims["torch_cluster"] = _module("torch_cluster", radius_graph=_radius_graph)
-
-    # import the genuine modules with the shims visible; leave any
-    # pre-existing entries (e.g. test_convert_pt's fake torch_geometric)
-    # exactly as they were afterwards
-    saved = {n: sys.modules.get(n) for n in shims}
-    ref_mods = ["layers", "layers.transformer", "layers.multihead_attention",
-                "embedder_eDOS", "embedder_eDOS.DOSTransformer",
-                "embedder_eDOS.graphnetwork", "embedder_eDOS.mlp",
-                "embedder_phDOS", "embedder_phDOS.DOSTransformer_phonon",
-                "embedder_phDOS.graphnetwork_phonon"]
-    saved.update({n: sys.modules.get(n) for n in ref_mods})
-    sys.modules.update(shims)
-    sys.path.insert(0, REF_ROOT)
-    try:
-        for n in ref_mods:  # force fresh imports against the shims
-            sys.modules.pop(n, None)
-        from embedder_eDOS.DOSTransformer import DOSTransformer as EDOSRef
-        from embedder_eDOS.graphnetwork import (
-            Graphnetwork as GNRef,
-            Graphnetwork2 as GN2Ref,
-        )
-        from embedder_eDOS.mlp import mlp as MLPRef, mlp2 as MLP2Ref
-        from embedder_phDOS.DOSTransformer_phonon import (
-            DOSTransformer_phonon as PhDOSRef,
-        )
-        from embedder_phDOS.graphnetwork_phonon import (
-            Graphnetwork_phonon as GNPhRef,
-        )
-        yield SimpleNamespace(edos=EDOSRef, gn=GNRef, gn2=GN2Ref,
-                              mlp=MLPRef, mlp2=MLP2Ref,
-                              phdos=PhDOSRef, gn_ph=GNPhRef)
-    finally:
-        sys.path.remove(REF_ROOT)
-        for n, prev in saved.items():
-            if prev is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = prev
+    """Import the genuine reference model modules against the dependency
+    shims (tests/refshims.py), restore sys.modules afterwards."""
+    with reference_imports("embedder_eDOS.DOSTransformer",
+                           "embedder_eDOS.graphnetwork",
+                           "embedder_eDOS.mlp",
+                           "embedder_phDOS.DOSTransformer_phonon",
+                           "embedder_phDOS.graphnetwork_phonon") as (
+            m_dt, m_gn, m_mlp, m_ph, m_gnp):
+        yield SimpleNamespace(edos=m_dt.DOSTransformer,
+                              gn=m_gn.Graphnetwork,
+                              gn2=m_gn.Graphnetwork2,
+                              mlp=m_mlp.mlp, mlp2=m_mlp.mlp2,
+                              phdos=m_ph.DOSTransformer_phonon,
+                              gn_ph=m_gnp.Graphnetwork_phonon)
 
 
 @pytest.fixture(autouse=True)

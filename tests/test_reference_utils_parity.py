@@ -1,0 +1,209 @@
+"""Parity vs the GENUINE reference utils.py: eval loops + the splitter.
+
+tests/test_reference_model_parity.py pins the model forwards against the real
+reference code; this file extends genuine-code pinning to the two remaining
+behavior-heavy reference surfaces our framework re-implements from reading:
+
+  * ``utils.test`` / ``utils.test_phonon`` (utils.py:61-143) — the eval loops
+    whose per-sample metric semantics (running batch means, the eval-side
+    clamp of BOTH y and preds for eDOS, L1-as-mae, variance-weighted r2 per
+    sample, the scatter_sum embedding export) our `train/metrics.py` +
+    `eval_step` reproduce.  Here the genuine loops run (with the genuine
+    models from refshims-imported embedder modules) over batch-size-1 loaders
+    of synthetic crystals, and our eval pipeline must produce the same four
+    scalars and the same preds/embeddings export.
+  * ``utils.train_valid_test_split`` (utils.py:176-245) — the element-balanced
+    splitter.  pandas + sklearn + tqdm ARE installed here, so the genuine
+    function executes as-is; our `element_balanced_split` (which replaced the
+    transcribed-pandas oracle reasoning with plain numpy) must match its
+    index lists EXACTLY, killing the transcription circularity noted in
+    tests/test_data.py.
+
+Shims used (tests/refshims.py): torch_scatter (index_add), torch_geometric /
+ase fakes that are imported but never called on these paths.  pandas, sklearn,
+scipy and tqdm are real.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+pd = pytest.importorskip("pandas")
+
+from dostransformer_tpu.data import (
+    collate,
+    synthetic_edos_samples,
+    synthetic_phdos_samples,
+)
+from dostransformer_tpu.data.datasets import element_balanced_split
+from dostransformer_tpu.models.dostransformer import (
+    DOSTransformerEDOS,
+    DOSTransformerPhDOS,
+)
+from dostransformer_tpu.models.import_torch import import_reference_state_dict
+from dostransformer_tpu.train.metrics import MetricAccumulator, eval_metrics
+from tests.refshims import reference_imports
+
+H, L, T = 32, 2, 2
+
+
+@pytest.fixture(scope="module")
+def ref():
+    with reference_imports("utils",
+                           "embedder_eDOS.DOSTransformer",
+                           "embedder_phDOS.DOSTransformer_phonon") as (
+            utils, m_dt, m_ph):
+        yield utils, m_dt.DOSTransformer, m_ph.DOSTransformer_phonon
+
+
+@pytest.fixture(autouse=True)
+def f64():
+    jax.config.update("jax_enable_x64", True)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        yield
+    finally:
+        torch.set_default_dtype(prev)
+        jax.config.update("jax_enable_x64", False)
+
+
+def _cast_f64(tree):
+    return jax.tree.map(
+        lambda a: np.asarray(a).astype(np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, tree)
+
+
+class _B:
+    """A batch-size-1 PyG-style batch for the genuine eval loops."""
+
+    def __init__(self, s, phdos=False):
+        self.x = torch.as_tensor(np.asarray(s.x, dtype=np.float64))
+        self.edge_index = torch.as_tensor(
+            np.asarray(s.edge_index, dtype=np.int64))
+        self.batch = torch.zeros(s.n_nodes, dtype=torch.long)
+        self.system = torch.as_tensor([int(s.system)])
+        self.mp_id = [s.mp_id]
+        y = torch.as_tensor(np.asarray(s.y, dtype=np.float64))
+        if phdos:
+            self.edge_vec = torch.as_tensor(
+                np.asarray(s.edge_vec, dtype=np.float64))
+            self.phdos = y
+        else:
+            self.edge_attr = torch.as_tensor(
+                np.asarray(s.edge_attr, dtype=np.float64))
+            self.glob = torch.as_tensor(
+                np.asarray(s.glob, dtype=np.float64))[None]
+            self.y_ft = y
+        self._phdos = phdos
+
+    def to(self, device):
+        return self
+
+    # the phDOS preprocess probes 'batch' / 'edge_index' dict-style
+    def __contains__(self, k):
+        return k in self.__dict__
+
+    def __getitem__(self, k):
+        return self.__dict__[k]
+
+
+def _our_eval(model_cls, tmodel, samples, clamp, **kw):
+    """Run OUR production eval components (model.apply -> eval_metrics ->
+    MetricAccumulator) with the genuine weights; returns (scalars, preds,
+    embeddings-or-None)."""
+    batch0 = _cast_f64(collate([samples[0]],
+                               atoms_per_graph=samples[0].n_nodes,
+                               edges_per_graph=samples[0].n_edges,
+                               use_buckets=False))
+    model = model_cls(hidden=H, dtype="float64", padding="ref",
+                      use_pallas=False, **kw)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = import_reference_state_dict(
+        sd, _cast_f64(model.init(jax.random.PRNGKey(0), batch0)))
+
+    acc = MetricAccumulator()
+    preds, embs = [], []
+    for s in samples:
+        batch = _cast_f64(collate([s], atoms_per_graph=s.n_nodes,
+                                  edges_per_graph=s.n_edges,
+                                  use_buckets=False))
+        dg, x, ds = model.apply(params, batch, deterministic=True)
+        m = eval_metrics(ds, batch.y, clamp=clamp, graph_mask=batch.graph_mask)
+        acc.update(m)
+        preds.append(np.asarray(m["preds"])[0])
+        embs.append(np.asarray(
+            (x * batch.node_mask[..., None]).sum(axis=1))[0])
+    return acc.result(), np.stack(preds), np.stack(embs)
+
+
+def test_edos_eval_loop_matches_genuine_utils_test(ref):
+    utils, EDOSRef, _ = ref
+    torch.manual_seed(31)
+    tmodel = EDOSRef(L, T, 200, 41, 2, H, "cpu", 0.0).eval()
+    samples = synthetic_edos_samples(5, seed=17, min_atoms=4, max_atoms=9)
+    loader = [_B(s) for s in samples]
+
+    rmse, mse, mae, r2, preds_y = utils.test(
+        tmodel, loader, torch.nn.L1Loss(), utils.r2, "cpu")
+
+    ours, our_preds, our_embs = _our_eval(
+        DOSTransformerEDOS, tmodel, samples, clamp=True,
+        layers=L, t_layers=T)
+
+    np.testing.assert_allclose(ours["rmse"], float(rmse), rtol=1e-6)
+    np.testing.assert_allclose(ours["mse"], float(mse), rtol=1e-6)
+    np.testing.assert_allclose(ours["mae"], float(mae), rtol=1e-6)
+    np.testing.assert_allclose(ours["r2"], float(r2), rtol=1e-6)
+    # the preds_y export: [mp_id list, preds, y, embeddings]
+    mp_id, preds, y, embeddings = preds_y[0]
+    assert mp_id == [s.mp_id for s in samples]
+    np.testing.assert_allclose(our_preds, preds, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(our_embs, embeddings, rtol=1e-5, atol=1e-7)
+
+
+def test_phdos_eval_loop_matches_genuine_utils_test_phonon(ref):
+    utils, _, PhDOSRef = ref
+    torch.manual_seed(32)
+    tmodel = PhDOSRef(L, T, 118, 4, H, "cpu", 0.0).eval()
+    samples = synthetic_phdos_samples(5, seed=18, min_atoms=4, max_atoms=8)
+    loader = [_B(s, phdos=True) for s in samples]
+
+    rmse, mse, mae, r2 = utils.test_phonon(
+        tmodel, loader, torch.nn.L1Loss(), utils.r2, "cpu")
+
+    ours, _, _ = _our_eval(DOSTransformerPhDOS, tmodel, samples, clamp=False,
+                           layers=L, t_layers=T)
+    np.testing.assert_allclose(ours["rmse"], float(rmse), rtol=1e-6)
+    np.testing.assert_allclose(ours["mse"], float(mse), rtol=1e-6)
+    np.testing.assert_allclose(ours["mae"], float(mae), rtol=1e-6)
+    np.testing.assert_allclose(ours["r2"], float(r2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed,n", [(12, 40), (0, 25), (7, 60)])
+def test_splitter_matches_genuine_train_valid_test_split(ref, seed, n):
+    """The genuine element-balanced splitter runs as-is here (pandas, sklearn
+    and tqdm are installed); our numpy re-derivation must match its index
+    lists exactly — order included (the reference's downstream consumers are
+    order-sensitive list slices)."""
+    utils, _, _ = ref
+    rng = np.random.default_rng(seed)
+    universe = ["H", "C", "N", "O", "Si", "Fe", "Cu", "Zn", "Ga", "As"]
+    species_per_sample = [
+        sorted(rng.choice(universe, size=rng.integers(1, 5),
+                          replace=False).tolist())
+        for _ in range(n)
+    ]
+    df = pd.DataFrame({"species": species_per_sample})
+    species = sorted({sp for row in species_per_sample for sp in row})
+
+    g_train, g_valid, g_test = utils.train_valid_test_split(
+        df, species, valid_size=0.1, test_size=0.1, seed=seed)
+    o_train, o_valid, o_test = element_balanced_split(
+        species_per_sample, valid_size=0.1, test_size=0.1, seed=seed)
+
+    assert o_train == list(g_train)
+    assert o_valid == list(g_valid)
+    assert o_test == list(g_test)
