@@ -272,6 +272,89 @@ def test_phdos_flagship_matches_genuine_reference(ref, batch_size):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_edos_training_gradients_match_genuine_reference(ref):
+    """TRAINING-path parity: jax.grad of our production loss (train/loss.py
+    dos_loss — clamp y only, per-sample RMSE, batch mean, + beta*system,
+    main_eDOS.py:111-123) vs torch autograd through the GENUINE model.  The
+    genuine grads are mapped onto our tree with the same importer used for
+    weights (grads transpose/rename exactly like the params they belong to).
+    Pins the whole backward, not just the forward."""
+    from dostransformer_tpu.train.loss import dos_loss
+
+    torch.manual_seed(41)
+    tmodel = ref.edos(L, T, 200, 41, 2, H, "cpu", 0.0)
+    samples = synthetic_edos_samples(2, seed=23, min_atoms=4, max_atoms=8)
+    batch = _our_batch(samples)
+    model = DOSTransformerEDOS(layers=L, t_layers=T, hidden=H,
+                               dtype="float64", padding="ref",
+                               use_pallas=False)
+    params = _import_genuine(tmodel, model, batch)
+
+    # genuine side: the reference's training loss, then backward
+    g = _ragged(samples)
+    tdg, _, tds = tmodel(g)
+    y_raw = torch.as_tensor(
+        np.stack([np.asarray(s.y, dtype=np.float64) for s in samples]))
+    y = torch.where(y_raw < 0, torch.zeros((), dtype=torch.float64), y_raw)
+    global_rmse = torch.sqrt(((y - tdg) ** 2).mean(dim=1)).mean()
+    system_rmse = torch.sqrt(((y - tds) ** 2).mean(dim=1)).mean()
+    (global_rmse + 1.0 * system_rmse).backward()
+    grad_sd = {k: p.grad.detach().numpy()
+               for k, p in tmodel.named_parameters() if p.grad is not None}
+    tgrads = import_reference_state_dict(grad_sd, params, strict=False)
+
+    def loss_fn(p):
+        dg, _, ds = model.apply(p, batch, deterministic=True)
+        return dos_loss(dg, ds, batch.y, batch.graph_mask, beta=1.0,
+                        clamp_targets=True)[0]
+
+    ours = jax.grad(loss_fn)(params)
+    assert jax.tree.structure(ours) == jax.tree.structure(tgrads)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(ours),
+                               jax.tree_util.tree_leaves_with_path(tgrads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(kp))
+
+
+def test_phdos_training_gradients_match_genuine_reference(ref):
+    """phDOS training backward at the reference's hard batch-1 cadence
+    (main_phDOS.py:52,109-114: MSELoss over the whole [1,51] then sqrt —
+    equals per-sample RMSE at B=1; no clamp)."""
+    from dostransformer_tpu.train.loss import dos_loss
+
+    torch.manual_seed(42)
+    tmodel = ref.phdos(L, T, 118, 4, H, "cpu", 0.0)
+    samples = synthetic_phdos_samples(1, seed=24, min_atoms=5, max_atoms=5)
+    batch = _our_batch(samples)
+    model = DOSTransformerPhDOS(layers=L, t_layers=T, hidden=H,
+                                dtype="float64", padding="ref",
+                                use_pallas=False)
+    params = _import_genuine(tmodel, model, batch)
+
+    g = _ragged(samples, phdos=True)
+    tdg, _, tds = tmodel(g)
+    y = torch.as_tensor(np.asarray(samples[0].y, dtype=np.float64))[None]
+    loss = (torch.sqrt(((tdg - y) ** 2).mean())
+            + 1.0 * torch.sqrt(((tds - y) ** 2).mean()))
+    loss.backward()
+    grad_sd = {k: p.grad.detach().numpy()
+               for k, p in tmodel.named_parameters() if p.grad is not None}
+    tgrads = import_reference_state_dict(grad_sd, params, strict=False)
+
+    def loss_fn(p):
+        dg, _, ds = model.apply(p, batch, deterministic=True)
+        return dos_loss(dg, ds, batch.y, batch.graph_mask, beta=1.0,
+                        clamp_targets=False)[0]
+
+    ours = jax.grad(loss_fn)(params)
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(ours),
+                               jax.tree_util.tree_leaves_with_path(tgrads)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7,
+            err_msg=jax.tree_util.keystr(kp))
+
+
 def test_phdos_graphnetwork_matches_genuine_reference(ref):
     torch.manual_seed(22)
     tmodel = ref.gn_ph(L, 118, 4, H, 51, "cpu").eval()
