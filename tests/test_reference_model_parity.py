@@ -355,6 +355,70 @@ def test_phdos_training_gradients_match_genuine_reference(ref):
             err_msg=jax.tree_util.keystr(kp))
 
 
+def test_edos_three_adamw_steps_match_genuine_training(ref):
+    """END-TO-END training parity: 3 optimizer steps of the genuine reference
+    loop (genuine model, torch.optim.AdamW(lr=1e-4, weight_decay=1e-2) —
+    main_eDOS.py:93 — and the reference loss) vs 3 Trainer.train_step calls
+    from the same imported weights on the same batches.  Final param trees
+    must agree, pinning forward + backward + optimizer semantics as one
+    system.  mu_dtype=None gives the bit-faithful f32/f64 optimizer state
+    (the production bf16 first moment is a documented, convergence-validated
+    divergence — make_adamw docstring)."""
+    from dostransformer_tpu.train.trainer import Trainer, make_adamw
+
+    torch.manual_seed(51)
+    tmodel = ref.edos(L, T, 200, 41, 2, H, "cpu", 0.0)
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=1e-4, weight_decay=1e-2)
+
+    # equal atom counts per sample => our pads equal to_dense_batch's exactly
+    all_samples = synthetic_edos_samples(6, seed=29, min_atoms=7, max_atoms=7)
+    steps = [all_samples[i:i + 2] for i in range(0, 6, 2)]
+    e_pad = max(s.n_edges for s in all_samples)
+    a_pad = all_samples[0].n_nodes  # 7 atoms + the zero prompt node
+    batches = [_cast_f64(collate(ss, atoms_per_graph=a_pad,
+                                 edges_per_graph=e_pad,
+                                 use_buckets=False)) for ss in steps]
+
+    model = DOSTransformerEDOS(layers=L, t_layers=T, hidden=H,
+                               dtype="float64", padding="ref",
+                               use_pallas=False)
+    inner = _import_genuine(tmodel, model, batches[0])["params"]
+    trainer = Trainer(model, tx=make_adamw(mu_dtype=None), beta=1.0,
+                      clamp_targets=True, donate=False)
+    state = trainer.init_state(batches[0], seed=0)
+    # imported f64 params + fresh optimizer state built from THEM (init_state
+    # built its state from the model's own init, whose dtypes differ)
+    state = state.replace(params=inner, opt_state=trainer.tx.init(inner))
+
+    our_losses = []
+    for b in batches:
+        state, aux = trainer.train_step(state, b)
+        our_losses.append(float(aux["loss"]))
+
+    ref_losses = []
+    for ss in steps:
+        g = _ragged(ss)
+        tdg, _, tds = tmodel(g)
+        y_raw = torch.as_tensor(
+            np.stack([np.asarray(s.y, dtype=np.float64) for s in ss]))
+        y = torch.where(y_raw < 0, torch.zeros((), dtype=torch.float64), y_raw)
+        loss = (torch.sqrt(((y - tdg) ** 2).mean(dim=1)).mean()
+                + 1.0 * torch.sqrt(((y - tds) ** 2).mean(dim=1)).mean())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-6)
+    final_ref = _import_genuine(tmodel, model, batches[0])["params"]
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves_with_path(final_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8,
+            err_msg=jax.tree_util.keystr(kp))
+
+
 def test_phdos_graphnetwork_matches_genuine_reference(ref):
     torch.manual_seed(22)
     tmodel = ref.gn_ph(L, 118, 4, H, 51, "cpu").eval()
