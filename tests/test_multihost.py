@@ -240,6 +240,53 @@ class TestPodTraining:
         # order than the single-process collective (~1e-7 relative)
         assert abs(rmse_pod - rmse_one) <= 1e-3 * max(rmse_one, 1e-9)
 
+    def test_pod_dp_tp_training_matches_single_process(self, tmp_path):
+        """dp×tp on a REAL 2-process pod: 2 processes × 4 CPU devices with
+        --tensor_parallel 4 build a dp(2)×tp(4) mesh where each TP group is
+        one process's devices and DP spans the pod — the production layout
+        (TP rides the fast intra-host links, DP the slower cross-host ones).
+        The Megatron FFN all-reduces (parallel/megatron.py) therefore run
+        inside a process while the gradient psums cross processes.  Final
+        metrics must match a single-process 8-device run of the SAME
+        dp(2)×tp(4) layout.  (Not pure dp(8): the device dataset shuffles
+        shard-locally, so a different dp WIDTH sees a different data order —
+        measured dp2 == dp2×tp4 exactly while dp8 differs 1.9% on this tiny
+        corpus.  Same-width pure-dp equality is pinned by the Trainer-level
+        dp(2)×tp(4) == dp(2) test and reproduced at the CLI: dp2 and dp2×tp4
+        print identical RMSE.)"""
+        shared = tmp_path / "shared"
+        shared.mkdir()
+        port = _free_port()
+        procs = [_launch_pod_training(shared, port, i, 2, 4,
+                                      extra_flags=("--tensor_parallel", "4"))
+                 for i in range(2)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        results = (shared / "experiments_DOSTransformer.txt").read_text()
+        assert results.count("best epoch") == 1
+
+        env = _worker_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        single = tmp_path / "single"
+        single.mkdir()
+        res = subprocess.run(
+            [sys.executable, "-u", "-m",
+             "dostransformer_tpu.cli.main_phdos", *TRAIN_FLAGS,
+             "--tensor_parallel", "4", "--results_dir", str(single)],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert res.returncode == 0, res.stdout + res.stderr
+
+        def rmse_of(text):
+            import re
+
+            return float(re.search(r"best RMSE : ([0-9.]+)", text).group(1))
+
+        rmse_pod = rmse_of(results)
+        rmse_one = rmse_of(
+            (single / "experiments_DOSTransformer.txt").read_text())
+        assert abs(rmse_pod - rmse_one) <= 1e-3 * max(rmse_one, 1e-9)
+
 
 SERVE_WORKER = textwrap.dedent("""
     import sys
