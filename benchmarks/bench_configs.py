@@ -136,6 +136,55 @@ CONFIGS = {
                        target_steps=128, remat=True),
     "b128_remat": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
                        target_steps=64, remat=True),
+    # XLA flag sweep vs the f32 B=64 copy floor (DOSTPU_COMPILER_OPTIONS
+    # rides Trainer's jits as per-compile DebugOptions overrides — the only
+    # client-side route to libtpu's xla_tpu_* flags; trainer.py
+    # compiler_options_from_env). Candidates chosen for the profiled
+    # bottleneck: relayout copies + while-loop scheduling.
+    # no-flag CONTROL at the sweep's exact dispatch shape (epochs=1 /
+    # 128-step dispatches measure slightly below the 5-epoch b64 row —
+    # compare the flag rows against THIS, not against b64)
+    "b64_ctrl128": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                        target_steps=128),
+    "b64_vmem64m": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                        target_steps=128,
+                        env={"DOSTPU_COMPILER_OPTIONS":
+                             "xla_tpu_scoped_vmem_limit_kib=65536"}),
+    "b64_mblo":    dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                        target_steps=128,
+                        env={"DOSTPU_COMPILER_OPTIONS":
+                             "xla_tpu_memory_bound_loop_optimizer_options="
+                             "enabled:true"}),
+    "b64_copyfusion": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                           target_steps=128,
+                           env={"DOSTPU_COMPILER_OPTIONS":
+                                "xla_tpu_enable_copy_fusion=true"}),
+    "b64_lhs_off": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                        target_steps=128,
+                        env={"DOSTPU_COMPILER_OPTIONS":
+                             "xla_tpu_enable_latency_hiding_scheduler=false"}),
+    # bf16 compute on the OTHER round-4 levers: the phDOS batching headroom
+    # and the bucketed mixed corpus (bf16 cleared the eDOS B>=64 copy floor
+    # — these check the win composes with the other throughput levers)
+    "phdos_b64_bf16": dict(family="phdos", batch=64, lo=2, hi=12, n=512,
+                           epochs=5, target_steps=1280, dtype="bfloat16"),
+    "phdos_b256_bf16": dict(family="phdos", batch=256, lo=2, hi=12, n=1024,
+                            epochs=5, target_steps=640, dtype="bfloat16"),
+    # does the memory-bound-loop optimizer compose with bf16's 43% at B=64?
+    "b64_bf16_mblo": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                          target_steps=128, dtype="bfloat16",
+                          env={"DOSTPU_COMPILER_OPTIONS":
+                               "xla_tpu_memory_bound_loop_optimizer_options="
+                               "enabled:true"}),
+    # bf16 control at the 128-step dispatch shape (pairs with b64_bf16_mblo
+    # the way b64_ctrl128 pairs with the f32 flag rows)
+    "b64_bf16_ctrl128": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                             target_steps=128, dtype="bfloat16"),
+    "b64_mixed_flat_bf16": dict(batch=64, mixed=True, n=512, epochs=1,
+                                target_steps=24, dtype="bfloat16"),
+    "b64_mixed_bucketed_bf16": dict(batch=64, mixed=True, n=512, epochs=1,
+                                    target_steps=24, bucketed=True,
+                                    dtype="bfloat16"),
     "phdos_b1":  dict(family="phdos", batch=1,  lo=2, hi=12, n=64, epochs=5,
                       target_steps=2560),
     "phdos_b8":  dict(family="phdos", batch=8,  lo=2, hi=12, n=64, epochs=5,
