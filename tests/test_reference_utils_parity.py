@@ -24,6 +24,8 @@ ase fakes that are imported but never called on these paths.  pandas, sklearn,
 scipy and tqdm are real.
 """
 
+import sys
+
 import numpy as np
 import pytest
 
@@ -180,6 +182,40 @@ def test_phdos_eval_loop_matches_genuine_utils_test_phonon(ref):
     np.testing.assert_allclose(ours["mse"], float(mse), rtol=1e-6)
     np.testing.assert_allclose(ours["mae"], float(mae), rtol=1e-6)
     np.testing.assert_allclose(ours["r2"], float(r2), rtol=1e-6)
+
+
+def test_flag_defaults_and_run_name_match_genuine_utils(ref, monkeypatch):
+    """The genuine parse_args/training_config/exp_get_name execute here: the
+    13 shared flag defaults and the run-name string (key order + f-string
+    float formatting) must match config.TrainConfig/exp_get_name exactly."""
+    from dostransformer_tpu.config import TrainConfig, exp_get_name
+
+    utils, _, _ = ref
+
+    def genuine(argv):
+        monkeypatch.setattr(sys, "argv", ["prog", *argv])
+        return utils.training_config(utils.parse_args())
+
+    gd = genuine([])
+    cfg = TrainConfig()
+    ours = {"lr": cfg.lr, "epochs": cfg.epochs, "batch_size": cfg.batch_size,
+            "layers": cfg.layers, "transformer": cfg.transformer,
+            "eval": cfg.eval_every, "es": cfg.es, "embedder": cfg.embedder,
+            "hidden": cfg.hidden, "random_state": cfg.random_state,
+            "dataset": cfg.dataset, "attn_drop": cfg.attn_drop,
+            "seed": cfg.seed, "beta": cfg.beta}
+    for k, v in ours.items():
+        assert gd[k] == v, f"default mismatch for --{k}: {gd[k]} vs {v}"
+
+    assert exp_get_name(cfg) == utils.exp_get_name(gd)
+
+    # a non-default combination: float formatting and key order must survive
+    gd2 = genuine(["--lr", "0.001", "--beta", "2.5", "--layers", "4",
+                   "--embedder", "graphnetwork", "--dataset", "ood_element",
+                   "--attn_drop", "0.1", "--seed", "3"])
+    cfg2 = TrainConfig(lr=0.001, beta=2.5, layers=4, embedder="graphnetwork",
+                       dataset="ood_element", attn_drop=0.1, seed=3)
+    assert exp_get_name(cfg2) == utils.exp_get_name(gd2)
 
 
 @pytest.mark.parametrize("seed,n", [(12, 40), (0, 25), (7, 60)])
