@@ -49,7 +49,8 @@ def make_task(n_samples: int, seed: int = 4):
     return samples
 
 
-def run(train, valid, batch_size: int, epochs: int, lr: float, seed: int = 0):
+def run(train, valid, batch_size: int, epochs: int, lr: float,
+        seed: int = 0, dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +68,8 @@ def run(train, valid, batch_size: int, epochs: int, lr: float, seed: int = 0):
                           atoms_per_graph=loader.atoms_per_graph,
                           edges_per_graph=loader.edges_per_graph)
 
-    model = DOSTransformerPhDOS(layers=3, t_layers=2, hidden=256)
+    model = DOSTransformerPhDOS(layers=3, t_layers=2, hidden=256,
+                                dtype=dtype)
     trainer = Trainer(model, tx=make_adamw(lr))
     state = trainer.init_state(next(iter(loader)), seed=seed)
     base = jax.random.PRNGKey(seed)
@@ -85,7 +87,7 @@ def run(train, valid, batch_size: int, epochs: int, lr: float, seed: int = 0):
         acc.update(trainer.eval_step(state.params, b))
     r = acc.result()
     return {
-        "batch_size": batch_size, "lr": lr, "epochs": epochs,
+        "batch_size": batch_size, "lr": lr, "epochs": epochs, "dtype": dtype,
         "steps_total": epochs * dds.steps_per_epoch,
         "train_loss_final": float(np.asarray(losses)[-1].mean()),
         "heldout_rmse": float(r["rmse"]), "heldout_r2": float(r["r2"]),
@@ -98,7 +100,7 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--only", default=None,
-                   choices=["b1", "b64", "b64_lrscaled"])
+                   choices=["b1", "b64", "b64_lrscaled", "b64_lrscaled_bf16"])
     args = p.parse_args(argv)
 
     from dostransformer_tpu.data.datasets import train_test_split
@@ -114,6 +116,9 @@ def main(argv=None):
         "b1": dict(batch_size=1, lr=1e-4),        # the reference cadence
         "b64": dict(batch_size=64, lr=1e-4),      # same lr, 64x fewer steps
         "b64_lrscaled": dict(batch_size=64, lr=1e-4 * 16),  # sqrt-ish scale
+        # the recommended production combo: batched phDOS + bf16 compute
+        "b64_lrscaled_bf16": dict(batch_size=64, lr=1e-4 * 16,
+                                  dtype="bfloat16"),
     }
     names = [args.only] if args.only else list(configs)
     for name in names:
