@@ -118,7 +118,37 @@ def _build_shims():
     ase_nl = _module("ase.neighborlist", neighbor_list=_ase_stub)
     ase = _module("ase", Atoms=_ase_stub, Atom=_ase_stub, neighborlist=ase_nl)
     shims.update({"ase": ase, "ase.neighborlist": ase_nl})
+
+    # mat2graph.py extras: the dead `psy` import (mat2graph.py:4), pymatgen
+    # (Structure paths not exercised), mendeleev (fallback not exercised)
+    def _unusable(*a, **k):
+        raise AssertionError("stubbed dependency path exercised unexpectedly")
+
+    shims["psy"] = _module("psy")
+    pmg_struct = _module("pymatgen.core.structure", Structure=_unusable)
+    pmg_core = _module("pymatgen.core", structure=pmg_struct)
+    pymatgen = _module("pymatgen", core=pmg_core)
+    shims.update({"pymatgen": pymatgen, "pymatgen.core": pmg_core,
+                  "pymatgen.core.structure": pmg_struct})
+    men_fetch = _module("mendeleev.fetch", fetch_table=_unusable)
+    mendeleev = _module("mendeleev", element=_unusable, fetch=men_fetch)
+    shims.update({"mendeleev": mendeleev, "mendeleev.fetch": men_fetch})
     return shims
+
+
+def load_reference_file(relpath, name):
+    """Import a single reference source file by path (for modules that are
+    not import-packages, e.g. data/mat2graph.py).  Call INSIDE a
+    reference_imports() context so the dependency shims are visible; the
+    module is NOT registered in sys.modules."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 @contextlib.contextmanager

@@ -218,6 +218,43 @@ def test_flag_defaults_and_run_name_match_genuine_utils(ref, monkeypatch):
     assert exp_get_name(cfg2) == utils.exp_get_name(gd2)
 
 
+def test_featurizer_constants_match_genuine_mat2graph():
+    """The GENUINE data/mat2graph.py executes here (psy/pymatgen/mendeleev
+    stubbed — none of their code paths run): its element-feature loader over
+    its OWN shipped matscholar-embedding.json and its GaussianDistance must
+    match our bundled npz table + standardize_columns and ops.gaussian_basis
+    exactly.  Kills the hand-transcription circularity for the matscholar
+    table (previously pinned by transcribed literals) and the Gaussian
+    expansion."""
+    from tests.refshims import load_reference_file, reference_imports
+
+    from dostransformer_tpu.data.featurize_edos import load_elem_feats
+    from dostransformer_tpu.ops.geometry import gaussian_basis
+
+    with reference_imports():
+        m2g = load_reference_file("data/mat2graph.py", "ref_mat2graph")
+
+        genuine_table = m2g.load_elem_feats(
+            "/root/reference/data/matscholar-embedding.json")
+        ours = load_elem_feats()  # bundled npz + our standardization
+        assert genuine_table.shape == ours.shape == (100, 200)
+        np.testing.assert_allclose(ours, genuine_table, rtol=1e-12,
+                                   atol=1e-12)
+        # the JSON path of OUR loader over the GENUINE json, too
+        ours_json = load_elem_feats(
+            "/root/reference/data/matscholar-embedding.json")
+        np.testing.assert_allclose(ours_json, genuine_table, rtol=1e-12,
+                                   atol=1e-12)
+
+        gd = m2g.GaussianDistance(dmin=0.0, dmax=8.0, step=0.2)
+        d = np.linspace(0.0, 9.5, 37)  # past dmax: padding uses radius+1
+        genuine_exp = gd.expand(d)
+        ours_exp = np.asarray(gaussian_basis(d))
+        assert genuine_exp.shape == ours_exp.shape == (37, 41)
+        np.testing.assert_allclose(ours_exp, genuine_exp, rtol=1e-6,
+                                   atol=1e-7)
+
+
 @pytest.mark.parametrize("seed,n", [(12, 40), (0, 25), (7, 60)])
 def test_splitter_matches_genuine_train_valid_test_split(ref, seed, n):
     """The genuine element-balanced splitter runs as-is here (pandas, sklearn
