@@ -101,7 +101,7 @@ def measure_baseline() -> float:
     return sps
 
 
-def measure_jax() -> float:
+def measure_jax(dtype: str = "float32") -> float:
     import jax
 
     from dostransformer_tpu.data.datasets import GraphLoader
@@ -114,7 +114,7 @@ def measure_jax() -> float:
 
     on_tpu = jax.default_backend() == "tpu"
     model = DOSTransformerEDOS(layers=LAYERS, t_layers=T_LAYERS, hidden=HIDDEN,
-                               use_pallas=on_tpu)
+                               use_pallas=on_tpu, dtype=dtype)
     trainer = Trainer(model)
     state = trainer.init_state(batches[0], seed=0)
 
@@ -230,6 +230,18 @@ def main():
             record["mfu"] = round(flops * steps_per_sec / peak, 5)
     except Exception:
         pass  # MFU is best-effort; the headline metric must always print
+    try:
+        # best-effort extra: the RECOMMENDED production dtype (--dtype
+        # bfloat16, convergence-validated in BASELINE.md — RMSE deltas
+        # bracket zero vs f32 across seeds/tasks). The headline stays f32
+        # for cross-round comparability with the reference's numerics.
+        bf16 = measure_jax(dtype="bfloat16")
+        record["value_bf16"] = round(bf16, 2)
+        if "mfu" in record:
+            record["mfu_bf16"] = round(
+                record["flops_per_step"] * (bf16 / BATCH) / peak, 5)
+    except Exception:
+        pass
     print(json.dumps(record))
 
 
