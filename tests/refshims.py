@@ -110,6 +110,29 @@ class _AseAtoms:
         self.cell = _AseCell(_np.asarray(cell, float))
         self.pbc = tuple(pbc)
 
+    @classmethod
+    def fromdict(cls, d):
+        """ase.Atoms.fromdict over a todict() payload (utils.load_data
+        applies this to the eval'd CSV `structure` column)."""
+        pbc = d.get("pbc", (True, True, True))
+        try:
+            pbc = tuple(bool(b) for b in pbc)
+        except TypeError:
+            pbc = (bool(pbc),) * 3
+        return cls(d["numbers"], d["positions"], d["cell"], pbc=pbc)
+
+    def get_chemical_symbols(self):
+        return list(self.symbols)
+
+    def get_chemical_formula(self):
+        """Hill-ish formula — load_data only stores this into df['formula']
+        (never consumed downstream), so exact ASE formatting is not pinned."""
+        from collections import Counter
+
+        counts = Counter(self.symbols)
+        return "".join(s + (str(c) if c > 1 else "")
+                       for s, c in sorted(counts.items()))
+
 
 def _ase_neighbor_list(quantities, a, cutoff, self_interaction=False):
     """ase.neighborlist.neighbor_list('ijS', ...) backed by our

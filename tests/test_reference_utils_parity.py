@@ -388,3 +388,56 @@ def test_build_sample_matches_genuine_build_data(ref, crystal_system):
                                rtol=1e-7)
     assert ours.system == int(g.system)
     assert ours.mp_id == g.mp_id
+
+
+def test_featurize_csv_matches_genuine_load_data_pipeline(ref, tmp_path):
+    """The GENUINE CSV pipeline (utils.load_data -> per-row utils.build_data,
+    exactly as main_phDOS.py:18-22 drives it) executes here over a synthetic
+    data.csv, and featurize_csv must produce the same samples.
+
+    Pins the reference's eval-based column parsing (stringified Atoms dicts
+    and phdos lists) against our ast.literal_eval path, the species
+    derivation, and the whole CSV->GraphSample composition.  Same ase-shim
+    honesty notes as the build_data pin above; df['formula'] is never
+    consumed downstream and is not compared."""
+    utils, _, _ = ref
+
+    from dostransformer_tpu.data.featurize_phdos import featurize_csv
+
+    rng = np.random.default_rng(23)
+    systems = ["Cubic", "Trigonal", "Weird"]
+    rows = []
+    for i in range(3):
+        n = int(rng.integers(3, 7))
+        numbers = rng.choice([1, 6, 8, 14, 26, 31], size=n).tolist()
+        cell = (np.diag(rng.uniform(3.5, 5.0, 3))
+                + rng.normal(0, 0.05, (3, 3))).round(6)
+        pos = rng.uniform(0.0, 3.5, size=(n, 3)).round(6)
+        struct = {"numbers": numbers, "positions": pos.tolist(),
+                  "cell": cell.tolist(), "pbc": (True, True, True)}
+        phdos = rng.uniform(0.0, 1.0, 51).round(6).tolist()
+        phfreq = np.linspace(0.0, 50.0, 51).tolist()
+        rows.append({"mp_id": f"mp-{100 + i}", "structure": repr(struct),
+                     "phfreq": repr(phfreq), "phdos": repr(phdos),
+                     "pdos": repr([phdos]), "crystal_system": systems[i]})
+    csv_path = tmp_path / "data.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    df, species_all = utils.load_data(str(csv_path))
+    df["data"] = df.apply(lambda x: utils.build_data(x, 4.0), axis=1)
+
+    samples, species_per_sample = featurize_csv(str(csv_path), r_max=4.0)
+    assert len(samples) == len(df) == 3
+    assert sorted({s for row in species_per_sample for s in row}) \
+        == list(species_all)
+    for ours, (_, row) in zip(samples, df.iterrows()):
+        g = row["data"]
+        assert set(species_per_sample[ours.sample_id]) == set(row["species"])
+        np.testing.assert_allclose(ours.x, g.x.numpy(), rtol=1e-6)
+        np.testing.assert_array_equal(ours.edge_index, g.edge_index.numpy())
+        np.testing.assert_allclose(ours.edge_vec, g.edge_vec.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ours.y, g.phdos.numpy().reshape(-1),
+                                   rtol=1e-7)
+        assert ours.system == int(g.system)
+        assert ours.mp_id == g.mp_id
