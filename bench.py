@@ -45,8 +45,8 @@ def _samples():
     return synthetic_edos_samples(N_SAMPLES, seed=0, min_atoms=4, max_atoms=24)
 
 
-def probe_tpu_backend(timeout_s: int = 180, retries: int = 3,
-                      wait_s: int = 60) -> None:
+def probe_tpu_backend(timeout_s: int = 180, retries: int = 5,
+                      wait_s: int = 90):
     """Fail fast (with retries) if the tunneled-TPU backend is unreachable.
 
     When the axon tunnel is configured (PALLAS_AXON_POOL_IPS) but the far end
@@ -54,14 +54,18 @@ def probe_tpu_backend(timeout_s: int = 180, retries: int = 3,
     bench would never print its JSON line. Probe device init + a value fetch
     in a subprocess under a timeout; on persistent failure, emit an explicit
     error record instead of hanging.
+
+    Returns the probed device_kind (or None off-tunnel) so the parent never
+    has to initialize jax itself — a wedged tunnel makes ANY backend touch in
+    this process a potential forever-hang, and the headline JSON must print.
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return  # local CPU/TPU backend: init either works or raises promptly
+        return None  # local CPU/TPU backend: init works or raises promptly
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
             "v = float(jnp.arange(8.0).sum()); "  # value fetch = real barrier
-            "print(d[0].device_kind, v)")
+            "assert v == 28.0; print(d[0].device_kind)")
     last = ""
     for attempt in range(retries):
         if attempt:
@@ -70,7 +74,7 @@ def probe_tpu_backend(timeout_s: int = 180, retries: int = 3,
             r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                                capture_output=True, text=True)
             if r.returncode == 0:
-                return
+                return r.stdout.strip().splitlines()[-1]
             last = (r.stderr or "").strip()[-500:]
         except subprocess.TimeoutExpired:
             last = f"device init hung >{timeout_s}s (tunnel down?)"
@@ -208,21 +212,77 @@ def analytic_flops_per_step() -> float:
     return flops
 
 
+MEASURE_TIMEOUT_S = 1500
+
+
+def _measure_subprocess(dtype: str, attempts: int = 2) -> float:
+    """measure_jax(dtype) in a fresh, time-bounded interpreter.
+
+    The tunnel can wedge MID-measure (seen in the wild: the probe passes,
+    then the first dispatch never returns) — an in-process measurement would
+    hang this driver forever and no JSON line would ever print. A subprocess
+    bounds the damage; one retry covers a transient flap."""
+    import subprocess
+
+    last = ""
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(60)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_measure", dtype],
+                timeout=MEASURE_TIMEOUT_S, capture_output=True, text=True)
+            if r.returncode == 0:
+                return float(r.stdout.strip().splitlines()[-1])
+            last = (r.stderr or "").strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = (f"measurement hung >{MEASURE_TIMEOUT_S}s "
+                    "(tunnel wedged mid-run?)")
+        print(f"[bench] measure attempt {attempt + 1}/{attempts} ({dtype}) "
+              f"failed: {last}", file=sys.stderr)
+    raise RuntimeError(last)
+
+
+def _cached_flops():
+    """Analytic step FLOPs: from the committed cache; computed (which
+    compiles on the default backend) only when no tunnel is configured —
+    under the tunnel a compile is a hang risk and the cache is committed."""
+    key = f"b{BATCH}_h{HIDDEN}_l{LAYERS}_t{T_LAYERS}"
+    if os.path.exists(FLOPS_CACHE):
+        with open(FLOPS_CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return None
+    return analytic_flops_per_step()
+
+
 def main():
-    probe_tpu_backend()
+    kind = probe_tpu_backend()
     baseline = measure_baseline()
-    ours = measure_jax()
+    try:
+        ours = _measure_subprocess("float32")
+    except RuntimeError as e:
+        print(json.dumps({
+            "metric": "edos_train_samples_per_sec", "value": 0.0,
+            "unit": "samples/sec", "vs_baseline": 0.0,
+            "error": f"f32 measurement failed: {e}"}))
+        sys.exit(1)
     record = {
         "metric": "edos_train_samples_per_sec",
         "value": round(ours, 2),
         "unit": "samples/sec",
         "vs_baseline": round(ours / baseline, 2),
     }
+    peak = None
     try:
-        import jax
+        if kind is None:
+            import jax
 
-        flops = analytic_flops_per_step()
-        kind = jax.devices()[0].device_kind
+            kind = jax.devices()[0].device_kind
+        flops = _cached_flops()
         peak = PEAK_FLOPS_BY_KIND.get(kind)
         if flops and peak:
             steps_per_sec = ours / BATCH
@@ -235,9 +295,9 @@ def main():
         # bfloat16, convergence-validated in BASELINE.md — RMSE deltas
         # bracket zero vs f32 across seeds/tasks). The headline stays f32
         # for cross-round comparability with the reference's numerics.
-        bf16 = measure_jax(dtype="bfloat16")
+        bf16 = _measure_subprocess("bfloat16", attempts=1)
         record["value_bf16"] = round(bf16, 2)
-        if "mfu" in record:
+        if "mfu" in record and peak:
             record["mfu_bf16"] = round(
                 record["flops_per_step"] * (bf16 / BATCH) / peak, 5)
     except Exception:
@@ -246,4 +306,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--_measure":
+        print(measure_jax(sys.argv[2]))
+    else:
+        main()
