@@ -441,3 +441,46 @@ def test_featurize_csv_matches_genuine_load_data_pipeline(ref, tmp_path):
                                    rtol=1e-7)
         assert ours.system == int(g.system)
         assert ours.mp_id == g.mp_id
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_split_viz_matches_genuine_element_representation(ref, seed):
+    """utils.element_representation (utils.py:243-245) is the one utils
+    function with no direct genuine pin (train_valid_test_split covers
+    get_element_statistics/split_data transitively): our data.split_viz
+    equivalent — and the per-element fraction table built on it — must
+    reproduce the genuine fraction exactly, with member lists produced by
+    the GENUINE get_element_statistics so the composition matches the
+    reference's intended plot=True path end-to-end."""
+    utils, _, _ = ref
+    rng = np.random.default_rng(seed)
+    universe = ["H", "C", "O", "Fe", "Cu"]
+    species_per_sample = [
+        sorted(rng.choice(universe, size=rng.integers(1, 4),
+                          replace=False).tolist())
+        for _ in range(30)
+    ]
+    df = pd.DataFrame({"species": species_per_sample})
+    species = sorted({sp for row in species_per_sample for sp in row})
+    stats = utils.get_element_statistics(df, species)
+    idx_tr, idx_va, idx_te = element_balanced_split(
+        species_per_sample, valid_size=0.15, test_size=0.15, seed=seed)
+
+    from dostransformer_tpu.data.split_viz import (
+        element_representation,
+        split_element_statistics,
+    )
+
+    table = split_element_statistics(
+        species_per_sample,
+        {"train": idx_tr, "valid": idx_va, "test": idx_te})
+    assert table["species"] == species
+    for row in stats.itertuples():
+        col = species.index(row.symbol)
+        members = row.data
+        assert table["counts"][col] == len(members)
+        for name, idx in (("train", idx_tr), ("valid", idx_va),
+                          ("test", idx_te)):
+            genuine = utils.element_representation(members, idx)
+            assert element_representation(members, idx) == genuine
+            assert table["fractions"][name][col] == genuine
