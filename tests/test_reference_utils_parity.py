@@ -484,3 +484,12 @@ def test_split_viz_matches_genuine_element_representation(ref, seed):
             genuine = utils.element_representation(members, idx)
             assert element_representation(members, idx) == genuine
             assert table["fractions"][name][col] == genuine
+    # Scope of the pin: the exact-equality above covers NON-EMPTY member
+    # lists only. On empty members the genuine function divides by zero
+    # (utils.py:245 raises ZeroDivisionError); ours returns 0.0 by design
+    # (split_viz.py:41-42) so whole-table plots don't crash on elements
+    # absent from the corpus. Document the intentional divergence here so
+    # the PARITY.md "pinned exactly" claim stays honestly scoped.
+    with pytest.raises(ZeroDivisionError):
+        utils.element_representation([], idx_tr)
+    assert element_representation([], idx_tr) == 0.0
