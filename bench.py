@@ -158,8 +158,12 @@ def measure_jax(dtype: str = "float32") -> float:
         np.asarray(losses)
         times.append(time.perf_counter() - t0)
     times.sort()
-    dt = times[len(times) // 2]
-    return EPOCHS_PER_DISPATCH * dds.steps_per_epoch * BATCH / dt
+    samples_per_dispatch = EPOCHS_PER_DISPATCH * dds.steps_per_epoch * BATCH
+    # (min, median, max) samples/s over the 5 reps: the spread IS the
+    # tunnel-noise band (VERDICT r4 #6) — fastest rep -> max throughput
+    return (samples_per_dispatch / times[-1],
+            samples_per_dispatch / times[len(times) // 2],
+            samples_per_dispatch / times[0])
 
 
 # bf16 peak matmul throughput per chip (the standard MFU denominator on TPU)
@@ -234,7 +238,8 @@ def _measure_subprocess(dtype: str, attempts: int = 2) -> float:
                  "--_measure", dtype],
                 timeout=MEASURE_TIMEOUT_S, capture_output=True, text=True)
             if r.returncode == 0:
-                return float(r.stdout.strip().splitlines()[-1])
+                lo, med, hi = map(float, r.stdout.strip().splitlines()[-1].split())
+                return lo, med, hi
             last = (r.stderr or "").strip()[-400:]
         except subprocess.TimeoutExpired:
             last = (f"measurement hung >{MEASURE_TIMEOUT_S}s "
@@ -263,7 +268,7 @@ def main():
     kind = probe_tpu_backend()
     baseline = measure_baseline()
     try:
-        ours = _measure_subprocess("float32")
+        lo, ours, hi = _measure_subprocess("float32")
     except RuntimeError as e:
         print(json.dumps({
             "metric": "edos_train_samples_per_sec", "value": 0.0,
@@ -275,6 +280,11 @@ def main():
         "value": round(ours, 2),
         "unit": "samples/sec",
         "vs_baseline": round(ours / baseline, 2),
+        # within-session rep spread (5 multi-epoch dispatches): the
+        # tunnel-noise band — a regression smaller than this band is not
+        # distinguishable from noise (BASELINE.md noise-discipline section)
+        "value_min": round(lo, 2),
+        "value_max": round(hi, 2),
     }
     peak = None
     try:
@@ -295,8 +305,10 @@ def main():
         # bfloat16, convergence-validated in BASELINE.md — RMSE deltas
         # bracket zero vs f32 across seeds/tasks). The headline stays f32
         # for cross-round comparability with the reference's numerics.
-        bf16 = _measure_subprocess("bfloat16", attempts=1)
+        blo, bf16, bhi = _measure_subprocess("bfloat16", attempts=1)
         record["value_bf16"] = round(bf16, 2)
+        record["value_bf16_min"] = round(blo, 2)
+        record["value_bf16_max"] = round(bhi, 2)
         if "mfu" in record and peak:
             record["mfu_bf16"] = round(
                 record["flops_per_step"] * (bf16 / BATCH) / peak, 5)
@@ -307,6 +319,6 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--_measure":
-        print(measure_jax(sys.argv[2]))
+        print(*measure_jax(sys.argv[2]))
     else:
         main()
