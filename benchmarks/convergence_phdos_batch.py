@@ -31,22 +31,13 @@ import numpy as np
 def make_task(n_samples: int, seed: int = 4):
     """Synthetic phDOS crystals whose 51-bin targets are a deterministic
     function of composition (mass spectrum) — learnable structure, so
-    convergence differences are attributable to the optimizer dynamics."""
-    from dostransformer_tpu.data.synthetic import synthetic_phdos_samples
+    convergence differences are attributable to the optimizer dynamics.
+    Now a thin alias of data.synthetic.synthetic_phdos_learnable (same math,
+    same corpus at a given seed) so the CLI --synthetic_learnable path and
+    this benchmark are pinned to one implementation."""
+    from dostransformer_tpu.data.synthetic import synthetic_phdos_learnable
 
-    samples = synthetic_phdos_samples(n_samples, seed=seed)
-    grid = np.linspace(0, 1, 51)
-    rng = np.random.RandomState(seed + 1)
-    w = rng.randn(118, 4) * 0.5
-    for s in samples:
-        feats = np.tanh(s.x.mean(0) @ w)          # composition summary [4]
-        centers = 0.2 + 0.6 * (feats + 1.0) / 2.0
-        y = np.zeros_like(grid)
-        for k, c in enumerate(centers):
-            y += np.exp(-((grid - c) ** 2) / (0.01 + 0.005 * k))
-        y = y.astype(np.float32)
-        s.y = y / y.max()
-    return samples
+    return synthetic_phdos_learnable(n_samples, seed=seed)
 
 
 def run(train, valid, batch_size: int, epochs: int, lr: float,

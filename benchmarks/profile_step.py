@@ -24,24 +24,45 @@ sys.path.insert(0, REPO)
 
 
 def run_epoch(hidden, batch, steps, dtype="float32", pad_bins=0,
-              min_atoms=4, max_atoms=24):
+              min_atoms=None, max_atoms=None, task="edos"):
+    # task-default crystal sizes: eDOS headline 4-24, phDOS 2-12 (the
+    # bench_configs phdos_* geometry: A=16, E=128)
+    if min_atoms is None:
+        min_atoms = 4 if task == "edos" else 2
+    if max_atoms is None:
+        max_atoms = 24 if task == "edos" else 12
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from dostransformer_tpu.data import synthetic_edos_samples
+    from dostransformer_tpu.data import (
+        synthetic_edos_samples,
+        synthetic_phdos_samples,
+    )
     from dostransformer_tpu.data.datasets import GraphLoader
-    from dostransformer_tpu.models import DOSTransformerEDOS
+    from dostransformer_tpu.models import (
+        DOSTransformerEDOS,
+        DOSTransformerPhDOS,
+    )
     from dostransformer_tpu.train.device_dataset import DeviceDataset
     from dostransformer_tpu.train.trainer import Trainer
 
-    samples = synthetic_edos_samples(64, seed=0, min_atoms=min_atoms,
-                                     max_atoms=max_atoms)
-    loader = GraphLoader(samples, batch_size=batch)
     on_tpu = jax.default_backend() == "tpu"
-    model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=hidden,
-                               use_pallas=on_tpu, dtype=dtype,
-                               bins_pad=pad_bins or None)
+    if task == "phdos":
+        # the production phDOS geometry: 51 bins, atoms 2-12 (A=16 bucket)
+        samples = synthetic_phdos_samples(
+            64, seed=0, min_atoms=min_atoms, max_atoms=max_atoms)
+        model = DOSTransformerPhDOS(layers=3, t_layers=2, hidden=hidden,
+                                    use_pallas=on_tpu, dtype=dtype,
+                                    bins_pad=pad_bins or None)
+        loader = GraphLoader(samples, batch_size=batch)
+    else:
+        samples = synthetic_edos_samples(64, seed=0, min_atoms=min_atoms,
+                                         max_atoms=max_atoms)
+        loader = GraphLoader(samples, batch_size=batch)
+        model = DOSTransformerEDOS(layers=3, t_layers=2, hidden=hidden,
+                                   use_pallas=on_tpu, dtype=dtype,
+                                   bins_pad=pad_bins or None)
     trainer = Trainer(model)
     dds = DeviceDataset.from_samples(
         samples * (steps * batch // len(samples) + 1), batch,
@@ -63,10 +84,11 @@ def main():
     p.add_argument("--dtype", default="float32")
     p.add_argument("--top", type=int, default=28)
     p.add_argument("--pad_bins", type=int, default=0)
-    p.add_argument("--min_atoms", type=int, default=4)
-    p.add_argument("--max_atoms", type=int, default=24,
+    p.add_argument("--min_atoms", type=int, default=None)
+    p.add_argument("--max_atoms", type=int, default=None,
                    help="64-230 reproduces BASELINE.md's large-crystal row "
-                        "(SURVEY §3.3 envelope)")
+                        "(SURVEY §3.3 envelope); default 4-24 eDOS, 2-12 phDOS")
+    p.add_argument("--task", choices=["edos", "phdos"], default="edos")
     args = p.parse_args()
 
     import jax
@@ -75,7 +97,7 @@ def main():
     trainer, state, dds, rng, _ = run_epoch(args.hidden, args.batch,
                                             args.steps, args.dtype,
                                             args.pad_bins, args.min_atoms,
-                                            args.max_atoms)
+                                            args.max_atoms, args.task)
     tmp = tempfile.mkdtemp(prefix="dostpu_prof_")
     jax.profiler.start_trace(tmp)
     t0 = time.perf_counter()

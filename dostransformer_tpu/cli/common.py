@@ -55,6 +55,12 @@ def build_arg_parser(task: str) -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="./data/processed")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="train on N synthetic samples (no dataset files needed)")
+    p.add_argument("--synthetic_learnable", action="store_true",
+                   help="with --synthetic: targets are a deterministic "
+                        "function of the structure (a learnable task) "
+                        "instead of random noise — the corpus the "
+                        "convergence and time-to-accuracy benchmarks train "
+                        "to a real held-out RMSE on")
     p.add_argument("--padding", type=str, default="mask", choices=["mask", "ref"])
     p.add_argument("--use_pallas", action="store_true", default=None)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")

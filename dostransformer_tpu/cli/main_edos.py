@@ -37,7 +37,16 @@ def main(argv=None):
     print(f"device: {resolve_device_info()}")
 
     if args.synthetic:
-        samples = synthetic_edos_samples(args.synthetic, seed=cfg.random_state)
+        if args.synthetic_learnable:
+            from dostransformer_tpu.data.synthetic import (
+                synthetic_edos_learnable,
+            )
+
+            samples = synthetic_edos_learnable(args.synthetic,
+                                               seed=cfg.random_state)
+        else:
+            samples = synthetic_edos_samples(args.synthetic,
+                                             seed=cfg.random_state)
         train, valid, test = edos_random_split(samples, cfg.random_state)
     elif cfg.dataset == "whole":
         path = os.path.join(args.data_dir, "dos_dataset_random.npz")

@@ -39,7 +39,16 @@ def main(argv=None):
     print(f"device: {resolve_device_info()}")
 
     if args.synthetic:
-        samples = synthetic_phdos_samples(args.synthetic, seed=cfg.random_state)
+        if args.synthetic_learnable:
+            from dostransformer_tpu.data.synthetic import (
+                synthetic_phdos_learnable,
+            )
+
+            samples = synthetic_phdos_learnable(args.synthetic,
+                                                seed=cfg.random_state)
+        else:
+            samples = synthetic_phdos_samples(args.synthetic,
+                                              seed=cfg.random_state)
         train, valid, test = edos_random_split(samples, cfg.random_state)
     else:
         csv = os.path.join(args.data_dir, "data.csv")

@@ -20,6 +20,8 @@ from dostransformer_tpu.data.split_viz import (  # noqa: F401
     split_element_statistics,
 )
 from dostransformer_tpu.data.synthetic import (  # noqa: F401
+    synthetic_edos_learnable,
     synthetic_edos_samples,
+    synthetic_phdos_learnable,
     synthetic_phdos_samples,
 )

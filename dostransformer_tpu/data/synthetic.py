@@ -80,6 +80,32 @@ def synthetic_edos_learnable(
     return samples
 
 
+def synthetic_phdos_learnable(
+    n_samples: int,
+    seed: int = 0,
+    **kwargs,
+) -> List["GraphSample"]:
+    """phDOS samples whose 51-bin targets are a deterministic Gaussian
+    mixture conditioned on the composition (mass spectrum) — the learnable
+    convergence task from benchmarks/convergence_phdos_batch.py, exposed so
+    the CLIs' --synthetic_learnable path and time-to-accuracy benchmarks run
+    the same corpus end-to-end."""
+    samples = synthetic_phdos_samples(n_samples, seed=seed, **kwargs)
+    rng = np.random.RandomState(seed + 1)
+    n_bins = samples[0].y.shape[-1]
+    grid = np.linspace(0, 1, n_bins)
+    w = rng.randn(samples[0].x.shape[1], 4) * 0.5
+    for s in samples:
+        feats = np.tanh(s.x.mean(0) @ w)          # composition summary [4]
+        centers = 0.2 + 0.6 * (feats + 1.0) / 2.0
+        y = np.zeros_like(grid)
+        for k, c in enumerate(centers):
+            y += np.exp(-((grid - c) ** 2) / (0.01 + 0.005 * k))
+        y = y.astype(np.float32)
+        s.y = y / y.max()
+    return samples
+
+
 def synthetic_phdos_samples(
     n_samples: int,
     seed: int = 0,
