@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from dostransformer_tpu.nn.init import xavier_uniform_init
+from dostransformer_tpu.nn.layernorm import layer_norm
 from dostransformer_tpu.nn.modules import LN_EPS
 from dostransformer_tpu.parallel.megatron import (axis_is_bound, tp_enter,
                                                   tp_exit)
@@ -157,8 +158,7 @@ class TransformerEncoderLayer(fnn.Module):
         # dtype=None promotes the operand with the f32 params: bf16/f32
         # inputs compute in f32 (the TPU mixed-precision policy), f64 inputs
         # (x64 CPU parity runs) stay f64
-        h = fnn.LayerNorm(epsilon=LN_EPS, dtype=None,
-                          name="ln1")(x).astype(x.dtype)
+        h = layer_norm(x, "ln1")
         # Megatron FFN sharding (SURVEY §2.5 TP row): fc1 column-parallel,
         # fc2 row-parallel. tp_enter/tp_exit are the f/g conjugate
         # all-reduces; both are identity when tp_axis is unset or unbound
@@ -183,8 +183,7 @@ class _SharedLN(fnn.Module):
 
     @fnn.compact
     def __call__(self, x):
-        return fnn.LayerNorm(epsilon=self.epsilon, dtype=None,
-                             name="ln")(x).astype(x.dtype)
+        return layer_norm(x, "ln", epsilon=self.epsilon)
 
 
 class TransformerEncoder(fnn.Module):
@@ -235,5 +234,4 @@ class TransformerEncoder(fnn.Module):
                 self.tp_axis, name=f"layer{i}",
             )(x, x_k, x_v, key_mask, deterministic)
 
-        return fnn.LayerNorm(epsilon=LN_EPS, dtype=None,
-                             name="final_ln")(x).astype(x.dtype)
+        return layer_norm(x, "final_ln")
