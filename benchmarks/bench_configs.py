@@ -209,6 +209,23 @@ CONFIGS = {
     "phdos_b64_bf16_no_fused_mp": dict(family="phdos", batch=64, lo=2, hi=12,
                                        n=512, epochs=5, target_steps=1280,
                                        dtype="bfloat16", fused_mp=False),
+    # VERDICT r4 next #4: low-precision-residual LayerNorm (nn/layernorm.py,
+    # DOSTPU_LN_LP=1) vs the profiled 670 us LN-bwd + 347 us convert+reduce
+    # categories of the bf16 B=64 step. Paired against b64_bf16_ctrl128
+    # (the same 128-step dispatch shape); phDOS row pairs with
+    # phdos_b64_bf16.
+    "b64_bf16_lnlp": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                          target_steps=128, dtype="bfloat16",
+                          env={"DOSTPU_LN_LP": "1"}),
+    "b128_bf16_lnlp": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
+                           target_steps=64, dtype="bfloat16",
+                           env={"DOSTPU_LN_LP": "1"}),
+    "b128_bf16_ctrl64": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
+                             target_steps=64, dtype="bfloat16"),
+    "phdos_b64_bf16_lnlp": dict(family="phdos", batch=64, lo=2, hi=12,
+                                n=512, epochs=5, target_steps=1280,
+                                dtype="bfloat16",
+                                env={"DOSTPU_LN_LP": "1"}),
     "phdos_b1":  dict(family="phdos", batch=1,  lo=2, hi=12, n=64, epochs=5,
                       target_steps=2560),
     "phdos_b8":  dict(family="phdos", batch=8,  lo=2, hi=12, n=64, epochs=5,
