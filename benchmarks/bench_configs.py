@@ -209,6 +209,20 @@ CONFIGS = {
     "phdos_b64_bf16_no_fused_mp": dict(family="phdos", batch=64, lo=2, hi=12,
                                        n=512, epochs=5, target_steps=1280,
                                        dtype="bfloat16", fused_mp=False),
+    # completing the phDOS attention dispatch grid: the first sweep found
+    # padded-fwd + XLA-bwd at +10.4% over the nopad default (the Pallas bwd
+    # kernel loses at lq=51/lk=16) — these two decide the FORWARD choice and
+    # whether the fwd kernel earns its keep at all at phDOS shapes
+    "phdos_b64_bf16_nopadfwd_xlabwd": dict(family="phdos", batch=64, lo=2,
+                                           hi=12, n=512, epochs=5,
+                                           target_steps=1280,
+                                           dtype="bfloat16",
+                                           env={"DOSTPU_ATTN_NOPAD": "1",
+                                                "DOSTPU_ATTN_PALLAS_BWD":
+                                                    "0"}),
+    "phdos_b64_bf16_xla_attn": dict(family="phdos", batch=64, lo=2, hi=12,
+                                    n=512, epochs=5, target_steps=1280,
+                                    dtype="bfloat16", pallas=False),
     # VERDICT r4 next #4: low-precision-residual LayerNorm (nn/layernorm.py,
     # DOSTPU_LN_LP=1) vs the profiled 670 us LN-bwd + 347 us convert+reduce
     # categories of the bf16 B=64 step. Paired against b64_bf16_ctrl128
@@ -321,7 +335,7 @@ def measure(name: str) -> dict:
     on_tpu = jax.default_backend() == "tpu"
     hidden = cfg.get("hidden", HIDDEN)
     model = model_cls(layers=LAYERS, t_layers=T_LAYERS,
-                      hidden=hidden, use_pallas=on_tpu,
+                      hidden=hidden, use_pallas=cfg.get("pallas", on_tpu),
                       bins_pad=cfg.get("pad_bins"),
                       dtype=cfg.get("dtype", "float32"),
                       use_fused_mp=cfg.get("fused_mp"),

@@ -116,6 +116,14 @@ def main(argv=None):
     p.add_argument("--json", type=str, default=None)
     p.add_argument("--epochs_ref", type=int, default=None)
     p.add_argument("--epochs_prod", type=int, default=None)
+    p.add_argument("--lr_prod", type=str, default=None,
+                   help="override the prod recipe's lr (the linear-scaled "
+                        "default can overshoot at large batch ratios)")
+    p.add_argument("--extra_prod", nargs="*", default=None,
+                   help="extra CLI flag/value pairs for the prod recipe, "
+                        "flag names WITHOUT the leading dashes (argparse "
+                        "would otherwise claim them), e.g. "
+                        "--extra_prod warmup_epochs 40")
     p.add_argument("--timeout", type=int, default=3600)
     args = p.parse_args(argv)
 
@@ -130,6 +138,13 @@ def main(argv=None):
             ep = args.epochs_ref if recipe == "ref" else args.epochs_prod
             if ep is not None:
                 overrides["--epochs"] = ep
+            if recipe == "prod":
+                if args.lr_prod is not None:
+                    overrides["--lr"] = args.lr_prod
+                if args.extra_prod:
+                    it = iter(args.extra_prod)
+                    for flag in it:
+                        overrides["--" + flag.lstrip("-")] = next(it)
             r = run_recipe(args.task, recipe, args.samples, target, workdir,
                            overrides, timeout_s=args.timeout)
             results.append(r)
