@@ -177,7 +177,7 @@ def _fwd_kernel_call(qb, kb, vb, biasb, *, d: int, tq: int):
     )(qb, kb, vb, biasb)
 
 
-def _use_nopad(b: int) -> bool:
+def _use_nopad(b: int, lq: int) -> bool:
     """No-pad kernel path: pass q/k/v/bias to Pallas at their RAW logical
     shapes with full-dimension blocks and let Mosaic handle the sublane/lane
     alignment internally. The explicit _pad_operands copies exist because
@@ -187,17 +187,22 @@ def _use_nopad(b: int) -> bool:
     semantically, deleting the residual-format pads, the g pad and the
     dq/dk/dv un-pads (the ~2.3 ms/step copy floor at B=64).
 
-    DEFAULT at >= 64 batch elements, MEASURED on v5e (BASELINE.md round 3):
-    B=64 5,514 vs 5,285 samples/s, B=128 5,024 vs 4,613, large-crystal B=64
-    1,490 vs 1,458 — the no-pad fwd+bwd kernels beat both the padded-kernel
-    and XLA paths wherever the relayout copies dominate. At small batch the
-    padded fwd + XLA bwd combination stays ahead (headline B=8: 7,065 vs
-    6,473 with the forced no-pad bwd), so the gate matches _use_pallas_bwd.
-    DOSTPU_ATTN_NOPAD=1/0 forces either path."""
+    DEFAULT at >= 64 batch elements AND >= 128 query rows, MEASURED on v5e:
+    at eDOS geometry (lq=201 energy tokens; BASELINE.md round 3) B=64 5,514
+    vs 5,285 samples/s, B=128 5,024 vs 4,613, large-crystal B=64 1,490 vs
+    1,458 — the no-pad fwd+bwd kernels beat both the padded-kernel and XLA
+    paths wherever the relayout copies dominate. At small batch the padded
+    fwd + XLA bwd combination stays ahead (headline B=8: 7,065 vs 6,473
+    with the forced no-pad bwd). At SHORT query lengths the copies the
+    no-pad path exists to kill are small and the combination loses: phDOS
+    B=64 bf16 (lq=51 bins) measured 23,096 no-pad fwd+bwd vs 25,488 padded
+    fwd + XLA bwd (+10.4%; BASELINE.md round-5 profile attack), so the gate
+    matches _use_pallas_bwd on both axes. DOSTPU_ATTN_NOPAD=1/0 forces
+    either path."""
     env = os.environ.get("DOSTPU_ATTN_NOPAD")
     if env in ("0", "1"):
         return env == "1"
-    return b >= 64
+    return b >= 64 and lq >= 128
 
 
 def _vmem_rounded(rows: int, cols: int, itemsize: int) -> int:
@@ -267,7 +272,7 @@ def _fused_attention_bwd_nopad(q, k, v, bias, g):
 
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def _fused_attention_fwd(q, k, v, bias, *, q_tile: int = 256):
-    if _use_nopad(q.shape[0]):
+    if _use_nopad(q.shape[0], q.shape[1]):
         return _fwd_kernel_call_nopad(q, k, v, bias)
     b, lq, d = q.shape
     qb, kb, vb, biasb, tq = _pad_operands(q, k, v, bias, q_tile)
@@ -295,7 +300,8 @@ def _fused_attention(q, k, v, bias):
 
 
 def _fused_fwd(q, k, v, bias):
-    if _use_pallas_bwd(q.shape[0]) and not _use_nopad(q.shape[0]):
+    if (_use_pallas_bwd(q.shape[0], q.shape[1])
+            and not _use_nopad(q.shape[0], q.shape[1])):
         # padded residuals: bias stays unpadded ([B, Lk] — tiny) so the
         # backward can recover the real Lk/Lq/D from (bias, g) shapes
         o, qb, kb, vb = _fused_attention_fwd_keep(q, k, v, bias)
@@ -387,20 +393,27 @@ def _fused_attention_bwd(qb, kb, vb, bias, g):
     return dq[:, :lq, :d], dk[:, :lk, :d], dv[:, :lk, :d]
 
 
-def _use_pallas_bwd(b: int) -> bool:
-    """Backward-path dispatch, MEASURED on v5e (BASELINE.md rounds 2-3):
+def _use_pallas_bwd(b: int, lq: int) -> bool:
+    """Backward-path dispatch, MEASURED on v5e (BASELINE.md rounds 2-5):
     at few batch elements (flagship B=8 -> b=8..16) the XLA einsum backward
     wins — the kernel's lane-alignment pad/unpad copies cost more than the
     fusions it replaces (round-2 negative: 1088 -> 1112 us/step). At
-    production batch the XLA backward's relayout copies grow SUPERLINEARLY
-    (B=64 profile: copy-done 45 -> 1885 us/step) and the kernel wins
-    +6-10% end-to-end (B=64: 4818 -> 5282 samples/s; B=128: 4351 -> 4610;
-    neutral at large crystals). Default: Pallas at b >= 64 elements.
-    DOSTPU_ATTN_PALLAS_BWD=1/0 forces either path."""
+    production batch AND long queries the XLA backward's relayout copies
+    grow SUPERLINEARLY (eDOS lq=201, B=64 profile: copy-done 45 -> 1885
+    us/step) and the kernel wins +6-10% end-to-end (B=64: 4818 -> 5282
+    samples/s; B=128: 4351 -> 4610; neutral at large crystals). At SHORT
+    queries those copies are ~4x smaller and the kernel's sublane padding
+    (phDOS lq=51 -> 64 rows per operand) costs more than it saves: phDOS
+    B=64 bf16 profile shows _fused_attention_bwd_nopad at 420 us (12.7% of
+    the step) and switching its bwd to XLA measured +10.4% end-to-end
+    (BASELINE.md round-5 profile attack). Default: Pallas at b >= 64
+    elements AND lq >= 128 query rows (eDOS's 201-bin stream qualifies,
+    phDOS's 51-bin stream does not). DOSTPU_ATTN_PALLAS_BWD=1/0 forces
+    either path."""
     env = os.environ.get("DOSTPU_ATTN_PALLAS_BWD")
     if env in ("0", "1"):
         return env == "1"
-    return b >= 64
+    return b >= 64 and lq >= 128
 
 
 def _softmax_attn_bwd(q, k, v, bias, g, scale):
@@ -427,8 +440,8 @@ def _softmax_attn_bwd(q, k, v, bias, g, scale):
 
 
 def _fused_bwd(res, g):
-    if _use_pallas_bwd(g.shape[0]):
-        if _use_nopad(g.shape[0]):
+    if _use_pallas_bwd(g.shape[0], g.shape[1]):
+        if _use_nopad(g.shape[0], g.shape[1]):
             q, k, v, bias = res  # raw residuals
             dq, dk, dv = _fused_attention_bwd_nopad(q, k, v, bias, g)
             return dq, dk, dv, None

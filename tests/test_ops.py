@@ -113,22 +113,27 @@ class TestAttention:
                                        rtol=1e-4, atol=1e-5)
 
     def test_bwd_dispatch_default(self, monkeypatch):
-        """The production-batch default: b >= 64 elements takes the Pallas
-        backward, fewer takes XLA; env forces either (and the b=64 default-on
-        path is differential-tested against the forced-off XLA backward)."""
+        """The production default: b >= 64 elements AND lq >= 128 query rows
+        takes the Pallas backward (eDOS's 201-bin stream); short queries
+        (phDOS's 51-bin stream) or small batch take XLA — the round-5 phDOS
+        profile attack measured the kernel −10.4% at lq=51 (BASELINE.md).
+        Env forces either, and the default-on path is differential-tested
+        against the forced-off XLA backward."""
         from dostransformer_tpu.ops.attention import _use_pallas_bwd
 
         monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD", raising=False)
-        assert not _use_pallas_bwd(16)
-        assert _use_pallas_bwd(64) and _use_pallas_bwd(128)
+        assert not _use_pallas_bwd(16, 201)
+        assert _use_pallas_bwd(64, 201) and _use_pallas_bwd(128, 128)
+        assert not _use_pallas_bwd(64, 51)   # phDOS bins: XLA bwd
+        assert not _use_pallas_bwd(128, 64)
         monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "0")
-        assert not _use_pallas_bwd(128)
+        assert not _use_pallas_bwd(128, 201)
         monkeypatch.setenv("DOSTPU_ATTN_PALLAS_BWD", "1")
-        assert _use_pallas_bwd(2)
+        assert _use_pallas_bwd(2, 9)
 
         monkeypatch.delenv("DOSTPU_ATTN_PALLAS_BWD")
         rng = np.random.RandomState(5)
-        b, lq, lk, d = 64, 9, 13, 32
+        b, lq, lk, d = 64, 201, 13, 32
         q, k, v = (jnp.array(rng.randn(b, n, d).astype(np.float32))
                    for n in (lq, lk, lk))
         mask = jnp.array(rng.rand(b, lk) > 0.2)
@@ -146,6 +151,21 @@ class TestNopadAttention:
     blocks, Mosaic handles alignment internally) instead of explicitly
     HBM-padded operands. Opt-in until measured on real TPU (BASELINE.md
     B=64 copy-floor item); numerics must match both other paths exactly."""
+
+    def test_nopad_dispatch_default(self, monkeypatch):
+        """Default no-pad gate: both axes must qualify — b >= 64 AND
+        lq >= 128 (matches _use_pallas_bwd; the combination was measured,
+        not the axes independently — BASELINE.md rounds 3 and 5)."""
+        from dostransformer_tpu.ops.attention import _use_nopad
+
+        monkeypatch.delenv("DOSTPU_ATTN_NOPAD", raising=False)
+        assert _use_nopad(64, 201) and _use_nopad(128, 128)
+        assert not _use_nopad(8, 201)
+        assert not _use_nopad(64, 51)   # phDOS: padded fwd + XLA bwd wins
+        monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "0")
+        assert not _use_nopad(64, 201)
+        monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "1")
+        assert _use_nopad(2, 9)
 
     @pytest.mark.parametrize("b,lq,lk,d", [(2, 201, 33, 96), (4, 9, 13, 32)])
     def test_nopad_forward_and_grads_match(self, b, lq, lk, d, monkeypatch):
