@@ -234,6 +234,12 @@ CONFIGS = {
     "b128_bf16_lnlp": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
                            target_steps=64, dtype="bfloat16",
                            env={"DOSTPU_LN_LP": "1"}),
+    # single-pass Pallas LN backward (nn/layernorm.py _ln_bwd_pallas,
+    # DOSTPU_LN_PALLAS=1): dx + dscale/dbias partials from ONE VMEM read
+    # of dy/xhat instead of XLA's reduce chain; pairs with b64_bf16_ctrl128
+    "b64_bf16_lnpallas": dict(batch=64, lo=4, hi=24, n=512, epochs=1,
+                              target_steps=128, dtype="bfloat16",
+                              env={"DOSTPU_LN_PALLAS": "1"}),
     "b128_bf16_ctrl64": dict(batch=128, lo=4, hi=24, n=512, epochs=1,
                              target_steps=64, dtype="bfloat16"),
     "phdos_b64_bf16_lnlp": dict(family="phdos", batch=64, lo=2, hi=12,

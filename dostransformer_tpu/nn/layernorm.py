@@ -37,12 +37,24 @@ import os
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
 
 
 def lp_enabled() -> bool:
     return os.environ.get("DOSTPU_LN_LP") == "1"
+
+
+def pallas_bwd_enabled() -> bool:
+    """DOSTPU_LN_PALLAS=1: run the LN backward as ONE Pallas pass (dx +
+    dscale/dbias partials in a single VMEM-resident read of dy/xhat)
+    instead of XLA's reduce chain. Implies the LP residual format (the
+    kernel reads xhat in the operand dtype). Opt-in lever targeting the
+    670 us LN-bwd + 347 us convert+reduce categories of the bf16 B=64
+    profile (BASELINE.md round-5)."""
+    return os.environ.get("DOSTPU_LN_PALLAS") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -68,7 +80,7 @@ def _ln_fwd(x, scale, bias, eps):
     return y, (xhat.astype(x.dtype), rstd, scale)
 
 
-def _ln_bwd(eps, res, dy):
+def _ln_bwd_jnp(res, dy):
     xhat, rstd, scale = res
     f = jnp.promote_types(dy.dtype, jnp.float32)
     d = xhat.shape[-1]
@@ -82,6 +94,78 @@ def _ln_bwd(eps, res, dy):
     dscale = jnp.sum(dy * xhat, axis=lead, dtype=f).astype(scale.dtype)
     dbias = jnp.sum(dy, axis=lead, dtype=f).astype(scale.dtype)
     return dx, dscale, dbias
+
+
+def _ln_bwd_kernel(xhat_ref, rstd_ref, dy_ref, scale_ref,
+                   dx_ref, dsc_ref, dbi_ref):
+    """One grid step = nb batch elements: dx plus this block's dscale/dbias
+    partial sums, all from a single VMEM-resident read of xhat/dy. Math is
+    the xhat-form backward of _ln_bwd_jnp, f32 throughout."""
+    f = jnp.float32
+    xh = xhat_ref[...].astype(f)                     # [nb, L, D]
+    dyf = dy_ref[...].astype(f)
+    rstd = rstd_ref[...][..., None]                  # [nb, L, 1] f32
+    scale = scale_ref[...].astype(f)                 # [1, D]
+    d = xh.shape[-1]
+    g = dyf * scale[None]                            # broadcast over nb, L
+    s1 = jnp.mean(g, axis=-1, keepdims=True)
+    s2 = jnp.mean(g * xh, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (g - s1 - xh * s2)).astype(dy_ref.dtype)
+    dsc_ref[...] = jnp.sum(dyf * xh, axis=(0, 1))[None]   # [1, D]
+    dbi_ref[...] = jnp.sum(dyf, axis=(0, 1))[None]
+
+
+def _pick_nb_ln(b: int, per_elem_bytes: int) -> int:
+    """Elements per grid step under a VMEM budget: LN blocks are small
+    (~0.3 MB per element at [201, 256] bf16) so larger groups than the
+    attention kernels' cap amortize grid overhead."""
+    budget = 8 * 1024 * 1024
+    for n in (32, 16, 8, 4, 2, 1):
+        if b % n == 0 and n * per_elem_bytes <= budget:
+            return n
+    return 1
+
+
+def _ln_bwd_pallas(res, dy):
+    xhat, rstd, scale = res
+    b, l, d = xhat.shape
+    itemsize = xhat.dtype.itemsize
+    # xhat + dy + dx blocks, plus ~3 f32 temps of the same extent
+    per_elem = l * d * (3 * itemsize + 3 * 4)
+    nb = _pick_nb_ln(b, per_elem)
+    blk = lambda: pl.BlockSpec((nb, l, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    grid = b // nb
+    dx, dsc, dbi = pl.pallas_call(
+        _ln_bwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            blk(),
+            pl.BlockSpec((nb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            blk(),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            blk(),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d), dy.dtype),
+            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+        ],
+        interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
+    )(xhat, rstd[..., 0].astype(jnp.float32), dy, scale[None])
+    # cross-block partials are tiny ([grid, D] f32) — XLA sums them
+    return (dx, dsc.sum(axis=0).astype(scale.dtype),
+            dbi.sum(axis=0).astype(scale.dtype))
+
+
+def _ln_bwd(eps, res, dy):
+    if pallas_bwd_enabled() and dy.ndim == 3:
+        return _ln_bwd_pallas(res, dy)
+    return _ln_bwd_jnp(res, dy)
 
 
 layer_norm_lp.defvjp(_ln_fwd, _ln_bwd)
@@ -106,9 +190,10 @@ class LayerNormLP(fnn.Module):
 def layer_norm(x, name: str, epsilon: float = LN_EPS):
     """The transformer LN dispatch: flax LayerNorm (promote-to-f32, cast
     back — the golden-pinned default) or the LP-residual variant under
-    DOSTPU_LN_LP=1. Both produce the identical param subtree ``{name}/
-    {scale,bias}``."""
-    if lp_enabled():
+    DOSTPU_LN_LP=1 / DOSTPU_LN_PALLAS=1 (the latter additionally runs the
+    backward as one Pallas pass on 3D streams). All paths produce the
+    identical param subtree ``{name}/{scale,bias}``."""
+    if lp_enabled() or pallas_bwd_enabled():
         return LayerNormLP(epsilon=epsilon, name=name)(x)
     return fnn.LayerNorm(epsilon=epsilon, dtype=None,
                          name=name)(x).astype(x.dtype)

@@ -187,22 +187,24 @@ def _use_nopad(b: int, lq: int) -> bool:
     semantically, deleting the residual-format pads, the g pad and the
     dq/dk/dv un-pads (the ~2.3 ms/step copy floor at B=64).
 
-    DEFAULT at >= 64 batch elements AND >= 128 query rows, MEASURED on v5e:
-    at eDOS geometry (lq=201 energy tokens; BASELINE.md round 3) B=64 5,514
-    vs 5,285 samples/s, B=128 5,024 vs 4,613, large-crystal B=64 1,490 vs
-    1,458 — the no-pad fwd+bwd kernels beat both the padded-kernel and XLA
-    paths wherever the relayout copies dominate. At small batch the padded
-    fwd + XLA bwd combination stays ahead (headline B=8: 7,065 vs 6,473
-    with the forced no-pad bwd). At SHORT query lengths the copies the
-    no-pad path exists to kill are small and the combination loses: phDOS
-    B=64 bf16 (lq=51 bins) measured 23,096 no-pad fwd+bwd vs 25,488 padded
-    fwd + XLA bwd (+10.4%; BASELINE.md round-5 profile attack), so the gate
-    matches _use_pallas_bwd on both axes. DOSTPU_ATTN_NOPAD=1/0 forces
-    either path."""
+    Gates the KERNEL FORM (raw vs padded operands), not whether Pallas runs
+    — _use_pallas_bwd separately decides the backward engine. DEFAULT at
+    >= 64 batch elements at ANY query length, MEASURED on v5e: at eDOS
+    geometry (lq=201 energy tokens; BASELINE.md round 3) B=64 5,514 vs
+    5,285 samples/s, B=128 5,024 vs 4,613, large-crystal B=64 1,490 vs
+    1,458 — the no-pad kernels beat both the padded-kernel and XLA paths
+    wherever the relayout copies dominate. At small batch the padded fwd +
+    XLA bwd combination stays ahead (headline B=8: 7,065 vs 6,473 with the
+    forced no-pad bwd). At SHORT query lengths only the BACKWARD flips
+    (see _use_pallas_bwd): phDOS B=64 bf16 (lq=51 bins) measured no-pad
+    fwd + XLA bwd 26,123 vs padded fwd + XLA bwd 25,488 vs no-pad fwd+bwd
+    23,096 (BASELINE.md round-5 profile attack) — the raw-shape FORWARD
+    wins at every b >= 64 geometry, so this gate stays batch-only.
+    DOSTPU_ATTN_NOPAD=1/0 forces either form."""
     env = os.environ.get("DOSTPU_ATTN_NOPAD")
     if env in ("0", "1"):
         return env == "1"
-    return b >= 64 and lq >= 128
+    return b >= 64
 
 
 def _vmem_rounded(rows: int, cols: int, itemsize: int) -> int:

@@ -100,6 +100,55 @@ def test_x64_residuals_keep_full_precision():
         jax.config.update("jax_enable_x64", False)
 
 
+class TestPallasBwd:
+    """DOSTPU_LN_PALLAS=1: the LN backward runs as ONE Pallas pass (dx +
+    dscale/dbias partials from a single read of dy/xhat) on 3D streams,
+    jnp fallback elsewhere. Interpret mode on CPU; grads must match the
+    jnp backward analytically (identical residual format — only the
+    execution engine differs)."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("shape", [(8, 201, 256), (6, 7, 32)])
+    def test_grads_match_jnp_bwd(self, dtype, shape, monkeypatch):
+        monkeypatch.setenv("DOSTPU_PALLAS_INTERPRET", "1")
+        x, scale, bias = _data(dtype, shape=shape)
+
+        def loss(x, s, b):
+            return (layer_norm_lp(x, s, b).astype(jnp.float32) ** 2).sum()
+
+        monkeypatch.setenv("DOSTPU_LN_PALLAS", "1")
+        g_pl = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+        monkeypatch.delenv("DOSTPU_LN_PALLAS")
+        g_jnp = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_, name in zip(g_pl, g_jnp, ("dx", "dscale", "dbias")):
+            a = np.asarray(a, np.float32)
+            b_ = np.asarray(b_, np.float32)
+            if dtype == jnp.bfloat16:
+                # the kernel keeps g = dy*scale in f32 where the jnp path
+                # rounds it at bf16 — a real (more-precise) rounding-path
+                # difference, so compare within bf16 rounding, like
+                # test_backward_matches_autodiff_bf16_within_rounding
+                denom = max(1e-3, float(np.abs(b_).max()))
+                assert np.abs(a - b_).max() / denom < 0.03, name
+            else:
+                np.testing.assert_allclose(a, b_, rtol=2e-5, atol=2e-5,
+                                           err_msg=name)
+
+    def test_2d_falls_back_to_jnp(self, monkeypatch):
+        monkeypatch.setenv("DOSTPU_LN_PALLAS", "1")
+        x, scale, bias = _data(jnp.float32, shape=(16, 64))
+
+        def loss(x, s, b):
+            return (layer_norm_lp(x, s, b) ** 2).sum()
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+        monkeypatch.delenv("DOSTPU_LN_PALLAS")
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-6, atol=1e-6)
+
+
 class TestModelDispatch:
     def _outputs(self, env_val, dtype="float32"):
         from dostransformer_tpu.data import synthetic_edos_samples

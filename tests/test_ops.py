@@ -153,15 +153,17 @@ class TestNopadAttention:
     B=64 copy-floor item); numerics must match both other paths exactly."""
 
     def test_nopad_dispatch_default(self, monkeypatch):
-        """Default no-pad gate: both axes must qualify — b >= 64 AND
-        lq >= 128 (matches _use_pallas_bwd; the combination was measured,
-        not the axes independently — BASELINE.md rounds 3 and 5)."""
+        """Default no-pad gate: batch-only — the raw-shape kernel FORM wins
+        at every b >= 64 geometry measured (eDOS lq=201 AND phDOS lq=51:
+        26,123 no-pad fwd + XLA bwd vs 25,488 padded fwd + XLA bwd),
+        while the backward ENGINE separately needs lq >= 128
+        (_use_pallas_bwd) — BASELINE.md rounds 3 and 5."""
         from dostransformer_tpu.ops.attention import _use_nopad
 
         monkeypatch.delenv("DOSTPU_ATTN_NOPAD", raising=False)
         assert _use_nopad(64, 201) and _use_nopad(128, 128)
         assert not _use_nopad(8, 201)
-        assert not _use_nopad(64, 51)   # phDOS: padded fwd + XLA bwd wins
+        assert _use_nopad(64, 51)   # phDOS: no-pad fwd (+ XLA bwd) wins
         monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "0")
         assert not _use_nopad(64, 201)
         monkeypatch.setenv("DOSTPU_ATTN_NOPAD", "1")
