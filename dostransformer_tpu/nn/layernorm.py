@@ -100,19 +100,24 @@ def _ln_bwd_kernel(xhat_ref, rstd_ref, dy_ref, scale_ref,
                    dx_ref, dsc_ref, dbi_ref):
     """One grid step = nb batch elements: dx plus this block's dscale/dbias
     partial sums, all from a single VMEM-resident read of xhat/dy. Math is
-    the xhat-form backward of _ln_bwd_jnp, f32 throughout."""
+    the xhat-form backward of _ln_bwd_jnp, f32 throughout. The partials are
+    written sublane-broadcast into [1, 8, D] blocks (Mosaic requires the
+    trailing block dims be 8/128-divisible or full-extent; the caller takes
+    row 0)."""
     f = jnp.float32
     xh = xhat_ref[...].astype(f)                     # [nb, L, D]
     dyf = dy_ref[...].astype(f)
-    rstd = rstd_ref[...][..., None]                  # [nb, L, 1] f32
+    rstd = rstd_ref[...]                             # [nb, L, 1] f32
     scale = scale_ref[...].astype(f)                 # [1, D]
     d = xh.shape[-1]
     g = dyf * scale[None]                            # broadcast over nb, L
     s1 = jnp.mean(g, axis=-1, keepdims=True)
     s2 = jnp.mean(g * xh, axis=-1, keepdims=True)
     dx_ref[...] = (rstd * (g - s1 - xh * s2)).astype(dy_ref.dtype)
-    dsc_ref[...] = jnp.sum(dyf * xh, axis=(0, 1))[None]   # [1, D]
-    dbi_ref[...] = jnp.sum(dyf, axis=(0, 1))[None]
+    dsc_ref[...] = jnp.broadcast_to(
+        jnp.sum(dyf * xh, axis=(0, 1))[None, None], (1, 8, d))
+    dbi_ref[...] = jnp.broadcast_to(
+        jnp.sum(dyf, axis=(0, 1))[None, None], (1, 8, d))
 
 
 def _pick_nb_ln(b: int, per_elem_bytes: int) -> int:
@@ -135,31 +140,31 @@ def _ln_bwd_pallas(res, dy):
     nb = _pick_nb_ln(b, per_elem)
     blk = lambda: pl.BlockSpec((nb, l, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
+    part = lambda: pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
     grid = b // nb
     dx, dsc, dbi = pl.pallas_call(
         _ln_bwd_kernel,
         grid=(grid,),
         in_specs=[
             blk(),
-            pl.BlockSpec((nb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, l, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             blk(),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            blk(),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[blk(), part(), part()],
         out_shape=[
             jax.ShapeDtypeStruct((b, l, d), dy.dtype),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, d), jnp.float32),
         ],
         interpret=os.environ.get("DOSTPU_PALLAS_INTERPRET", "0") == "1",
-    )(xhat, rstd[..., 0].astype(jnp.float32), dy, scale[None])
-    # cross-block partials are tiny ([grid, D] f32) — XLA sums them
-    return (dx, dsc.sum(axis=0).astype(scale.dtype),
-            dbi.sum(axis=0).astype(scale.dtype))
+    )(xhat, rstd.astype(jnp.float32), dy, scale[None])
+    # cross-block partials are tiny ([grid, 8, D] f32, sublane-broadcast —
+    # row 0 is the value) — XLA sums them
+    return (dx, dsc[:, 0, :].sum(axis=0).astype(scale.dtype),
+            dbi[:, 0, :].sum(axis=0).astype(scale.dtype))
 
 
 def _ln_bwd(eps, res, dy):
